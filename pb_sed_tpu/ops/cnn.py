@@ -1,0 +1,275 @@
+"""CNN stacks: masked-norm 2-D + 1-D convolutional towers.
+
+Capability parity with padertorch ``contrib.je.modules.hybrid.CNN`` (=
+``CNN2d`` stack + flatten + ``CNN1d`` stack) as configured by the reference
+(``experiments/weak_label_crnn/training.py:158-185,218-242``): per-layer
+``out_channels`` / ``kernel_size`` / ``pool_size`` lists, residual
+connection index lists, masked batch norm with eps, pre-activation ReLU,
+dropout, ``output_layer`` flag, ``input_height``, tag conditioning via
+``conditional_dims``, and layer freezing for transfer learning (handled in
+the trainer via parameter-label masks, see train/trainer.py).
+
+TPU-first notes: data layout is (B, T, F, C) / (B, T, C) so convolutions
+lower to MXU-friendly NHWC convs; batch-norm statistics are computed with
+explicit sequence masks (padded batches must not pollute the running
+stats); the reference's "(2, 1) pool" notation (freq x time in its (B, C,
+F, T) layout) is preserved in configs and mapped to our layout internally.
+"""
+from typing import Any, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pb_sed_tpu.ops.masking import sequence_mask
+from pb_sed_tpu.utils.config import Configurable
+from pb_sed_tpu.utils.misc import to_list
+
+
+class MaskedBatchNorm(nn.Module):
+    """Batch norm whose statistics only see valid frames.
+
+    Normalizes per channel over batch x valid-time (x freq for 4-D input).
+    """
+    eps: float = 1e-3
+    momentum: float = 0.95
+
+    @nn.compact
+    def __call__(self, x, seq_len, training=False):
+        c = x.shape[-1]
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((c,)))
+        ra_var = self.variable('batch_stats', 'var', lambda: jnp.ones((c,)))
+        initialized = self.variable('batch_stats', 'initialized',
+                                    lambda: jnp.zeros(()))
+        gamma = self.param('scale', nn.initializers.ones, (c,))
+        beta = self.param('shift', nn.initializers.zeros, (c,))
+        mask = sequence_mask(seq_len, x.shape[1])  # (B, T)
+        mask = mask.reshape(mask.shape + (1,) * (x.ndim - 2))
+        if training:
+            axes = tuple(range(x.ndim - 1))
+            count = jnp.maximum((mask * jnp.ones_like(x)).sum(axes), 1.)
+            mean = (x * mask).sum(axes) / count
+            var = (jnp.square(x - mean) * mask).sum(axes) / count
+            momentum = jnp.where(initialized.value > 0, self.momentum, 0.)
+            ra_mean.value = momentum * ra_mean.value + (1 - momentum) * mean
+            ra_var.value = momentum * ra_var.value + (1 - momentum) * var
+            initialized.value = jnp.ones(())
+        else:
+            mean = ra_mean.value
+            var = ra_var.value
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * gamma + beta
+
+
+def _act(name):
+    if name in (None, 'identity', 'linear'):
+        return lambda x: x
+    return getattr(nn, name)
+
+
+def _pool2d(x, pool):
+    """Pool with reference notation: pool = (freq, time) or scalar."""
+    if isinstance(pool, (tuple, list)):
+        pf, pt = pool
+    else:
+        pf = pt = pool
+    if pf == 1 and pt == 1:
+        return x
+    # x: (B, T, F, C); reference pools are max pools
+    return nn.max_pool(x, window_shape=(pt, pf), strides=(pt, pf))
+
+
+def _match_residual(res, x):
+    """Average-pool a saved residual so its T/F dims match ``x``."""
+    if res.shape == x.shape:
+        return res
+    assert res.shape[-1] == x.shape[-1], (res.shape, x.shape)
+    if res.ndim == 4:
+        st = res.shape[1] // x.shape[1] or 1
+        sf = res.shape[2] // x.shape[2] or 1
+        res = nn.avg_pool(res, window_shape=(st, sf), strides=(st, sf))
+    else:
+        st = res.shape[1] // x.shape[1] or 1
+        res = nn.avg_pool(res, window_shape=(st,), strides=(st,))
+    return res
+
+
+class CNN2d(nn.Module, Configurable):
+    """Stack of 2-D convolutions over (time, freq)."""
+    out_channels: Sequence[int]
+    kernel_size: Union[int, Sequence[int]] = 3
+    pool_size: Union[int, Sequence[Any]] = 1
+    residual_connections: Sequence[Any] = None
+    norm: str = 'batch'
+    norm_kwargs: dict = None
+    activation_fn: str = 'relu'
+    pre_activation: bool = False
+    dropout: float = 0.
+    output_layer: bool = False
+    in_channels: int = None      # informational (finalize glue)
+    input_height: int = None     # informational
+
+    @nn.compact
+    def __call__(self, x, seq_len, training=False):
+        n = len(self.out_channels)
+        kernels = to_list(self.kernel_size, n)
+        pools = to_list(
+            list(self.pool_size) if isinstance(self.pool_size, (list, tuple))
+            and len(self.pool_size) == n else self.pool_size, n)
+        residuals = to_list(
+            self.residual_connections if self.residual_connections
+            else None, n)
+        act = _act(self.activation_fn)
+        norm_kwargs = self.norm_kwargs or {}
+        pending = {}
+        for i in range(n):
+            is_output = self.output_layer and i == n - 1
+            h = x
+            if self.pre_activation and not is_output:
+                if self.norm == 'batch':
+                    h = MaskedBatchNorm(
+                        **norm_kwargs, name=f'norm_{i}')(
+                            h, seq_len, training)
+                h = act(h)
+                if self.dropout > 0 and training:
+                    h = nn.Dropout(self.dropout, deterministic=False)(h)
+            k = kernels[i]
+            kt, kf = (k, k) if not isinstance(k, (tuple, list)) else k
+            h = nn.Conv(self.out_channels[i], kernel_size=(kt, kf),
+                        padding='SAME', name=f'conv_{i}')(h)
+            if not self.pre_activation and not is_output:
+                if self.norm == 'batch':
+                    h = MaskedBatchNorm(
+                        **norm_kwargs, name=f'norm_{i}')(
+                            h, seq_len, training)
+                h = act(h)
+                if self.dropout > 0 and training:
+                    h = nn.Dropout(self.dropout, deterministic=False)(h)
+            if i in pending:
+                for res in pending.pop(i):
+                    h = h + _match_residual(res, h)
+            if residuals[i] is not None:
+                pending.setdefault(int(residuals[i]), []).append(h)
+            pool = pools[i]
+            h = _pool2d(h, pool)
+            if isinstance(pool, (tuple, list)):
+                pt = pool[1]
+            else:
+                pt = pool
+            if pt > 1:
+                seq_len = -(-seq_len // pt)
+            x = h
+        return x, seq_len
+
+
+class CNN1d(nn.Module, Configurable):
+    """Stack of 1-D convolutions over time ((B, T, C) layout)."""
+    out_channels: Sequence[int]
+    kernel_size: Union[int, Sequence[int]] = 3
+    pool_size: Union[int, Sequence[int]] = 1
+    residual_connections: Sequence[Any] = None
+    norm: str = 'batch'
+    norm_kwargs: dict = None
+    activation_fn: str = 'relu'
+    pre_activation: bool = False
+    dropout: float = 0.
+    output_layer: bool = False
+    in_channels: int = None  # informational
+
+    @nn.compact
+    def __call__(self, x, seq_len, training=False):
+        n = len(self.out_channels)
+        kernels = to_list(
+            list(self.kernel_size) if isinstance(
+                self.kernel_size, (list, tuple)) else self.kernel_size, n)
+        pools = to_list(self.pool_size, n)
+        residuals = to_list(
+            self.residual_connections if self.residual_connections
+            else None, n)
+        act = _act(self.activation_fn)
+        norm_kwargs = self.norm_kwargs or {}
+        pending = {}
+        for i in range(n):
+            is_output = self.output_layer and i == n - 1
+            h = x
+            if self.pre_activation and not is_output:
+                if self.norm == 'batch':
+                    h = MaskedBatchNorm(
+                        **norm_kwargs, name=f'norm_{i}')(
+                            h, seq_len, training)
+                h = act(h)
+                if self.dropout > 0 and training:
+                    h = nn.Dropout(self.dropout, deterministic=False)(h)
+            h = nn.Conv(self.out_channels[i], kernel_size=(kernels[i],),
+                        padding='SAME', name=f'conv_{i}')(h)
+            if not self.pre_activation and not is_output:
+                if self.norm == 'batch':
+                    h = MaskedBatchNorm(
+                        **norm_kwargs, name=f'norm_{i}')(
+                            h, seq_len, training)
+                h = act(h)
+                if self.dropout > 0 and training:
+                    h = nn.Dropout(self.dropout, deterministic=False)(h)
+            if i in pending:
+                for res in pending.pop(i):
+                    h = h + _match_residual(res, h)
+            if residuals[i] is not None:
+                pending.setdefault(int(residuals[i]), []).append(h)
+            if pools[i] > 1:
+                h = nn.max_pool(h, window_shape=(pools[i],),
+                                strides=(pools[i],))
+                seq_len = -(-seq_len // pools[i])
+            x = h
+        return x, seq_len
+
+
+class CNN(nn.Module, Configurable):
+    """2-D tower -> flatten freq into channels -> 1-D tower.
+
+    Mirrors the reference hybrid CNN: input (B, T, F) features are lifted to
+    (B, T, F, C=1[+cond]) for the 2-D stack; the surviving freq bins are
+    folded into channels for the 1-D stack. Output is (B, T, C_1d).
+    """
+    cnn_2d: dict
+    cnn_1d: dict
+    input_height: int = None
+    positional_encoding: bool = False
+    conditional_dims: int = 0
+
+    @classmethod
+    def finalize_dogmatic_config(cls, config):
+        config['cnn_2d'] = {'factory': CNN2d}
+        config['cnn_1d'] = {'factory': CNN1d}
+
+    def setup(self):
+        cfg2d = dict(self.cnn_2d)
+        cfg2d.pop('factory', None)
+        cfg1d = dict(self.cnn_1d)
+        cfg1d.pop('factory', None)
+        self.tower_2d = CNN2d(**cfg2d)
+        self.tower_1d = CNN1d(**cfg1d)
+
+    def __call__(self, x, seq_len, condition=None, training=False):
+        """
+        Args:
+            x: (B, T, F) features.
+            seq_len: (B,) valid frames.
+            condition: optional (B, K) conditioning vector (tag condition,
+                reference ``strong_label/crnn.py:85-86``).
+        Returns: (B, T, C) embedding, updated seq_len.
+        """
+        b, t, f = x.shape
+        h = x[..., None]  # (B, T, F, 1)
+        if self.positional_encoding:
+            pos = jnp.linspace(-1., 1., f).reshape(1, 1, f, 1)
+            h = jnp.concatenate(
+                [h, jnp.broadcast_to(pos, (b, t, f, 1))], axis=-1)
+        if self.conditional_dims and condition is not None:
+            cond = jnp.broadcast_to(
+                condition[:, None, None, :], (b, t, f, condition.shape[-1]))
+            h = jnp.concatenate([h, cond], axis=-1)
+        h, seq_len = self.tower_2d(h, seq_len, training=training)
+        b, t2, f2, c2 = h.shape
+        h = h.reshape(b, t2, f2 * c2)
+        h, seq_len = self.tower_1d(h, seq_len, training=training)
+        return h, seq_len

@@ -1,0 +1,80 @@
+"""Sequence masks and masked reductions.
+
+Device-side (JAX) equivalents of the reference's sequence ops
+(padertorch ``compute_mask`` at ``pb_sed/models/weak_label/crnn.py:238`` and
+``reduce.{TakeLast,Mean,Sum,Max}`` at ``crnn.py:147,158,185``). Everything
+here is shape-static and mask-driven, as required under jit: padded batches
+never influence losses, statistics or pooled outputs.
+"""
+import jax.numpy as jnp
+
+
+def sequence_mask(seq_len, max_len, dtype=jnp.float32):
+    """(B,) lengths -> (B, max_len) {0,1} mask."""
+    return (
+        jnp.arange(max_len)[None, :] < seq_len[:, None]
+    ).astype(dtype)
+
+
+def compute_mask(x, seq_len, sequence_axis=-1, batch_axis=0):
+    """Mask broadcastable to ``x`` with 1s on valid frames."""
+    axis = sequence_axis % x.ndim
+    mask = sequence_mask(seq_len, x.shape[axis], x.dtype)  # (B, T)
+    shape = [1] * x.ndim
+    shape[batch_axis % x.ndim] = x.shape[batch_axis % x.ndim]
+    shape[axis] = x.shape[axis]
+    return mask.reshape(shape)
+
+
+def masked_mean(x, seq_len, axis=-1, keepdims=False):
+    mask = compute_mask(x, seq_len, sequence_axis=axis)
+    total = jnp.sum(x * mask, axis=axis, keepdims=keepdims)
+    count = jnp.sum(mask, axis=axis, keepdims=keepdims)
+    return total / jnp.maximum(count, 1.)
+
+
+def masked_sum(x, seq_len, axis=-1, keepdims=False):
+    mask = compute_mask(x, seq_len, sequence_axis=axis)
+    return jnp.sum(x * mask, axis=axis, keepdims=keepdims)
+
+
+def masked_max(x, seq_len, axis=-1, keepdims=False):
+    mask = compute_mask(x, seq_len, sequence_axis=axis)
+    neg = jnp.finfo(x.dtype).min
+    return jnp.max(jnp.where(mask > 0, x, neg), axis=axis, keepdims=keepdims)
+
+
+def take_last(x, seq_len, axis=-1, keepdims=False):
+    """Value at the last valid frame per example (reference ``TakeLast``)."""
+    axis = axis % x.ndim
+    idx = jnp.clip(seq_len - 1, 0, x.shape[axis] - 1)  # (B,)
+    idx_shape = [1] * x.ndim
+    idx_shape[0] = x.shape[0]
+    idx = idx.reshape(idx_shape)
+    idx = jnp.broadcast_to(
+        idx, x.shape[:axis] + (1,) + x.shape[axis + 1:])
+    out = jnp.take_along_axis(x, idx, axis=axis)
+    if not keepdims:
+        out = jnp.squeeze(out, axis=axis)
+    return out
+
+
+def reverse_sequence(x, seq_len, axis=-1):
+    """Flip valid frames, keeping padding at the end.
+
+    ``reverse_sequence(x, sl)[..., t] == x[..., sl - 1 - t]`` for t < sl.
+    Needed for the backward GRU head over padded batches.
+    """
+    axis = axis % x.ndim
+    t = x.shape[axis]
+    flipped = jnp.flip(x, axis=axis)
+    # roll each example left by (t - seq_len): gather implementation
+    offsets = (t - seq_len) % jnp.maximum(t, 1)  # (B,)
+    pos = jnp.arange(t)[None, :]  # (1, T)
+    src = (pos + offsets[:, None]) % t  # (B, T)
+    idx_shape = [1] * x.ndim
+    idx_shape[0] = x.shape[0]
+    idx_shape[axis] = t
+    src = src.reshape(idx_shape)
+    src = jnp.broadcast_to(src, x.shape[:axis] + (t,) + x.shape[axis + 1:])
+    return jnp.take_along_axis(flipped, src, axis=axis)

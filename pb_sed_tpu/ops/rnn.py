@@ -1,0 +1,238 @@
+"""Recurrent heads: GRU (and a Transformer alternative) + 1x1-conv output net.
+
+Capability parity with padertorch ``contrib.je.modules.rnn.{GRU,
+TransformerEncoder}`` as used by the reference models
+(``pb_sed/models/weak_label/crnn.py:320-340``,
+``strong_label/crnn.py:171-198``): multi-layer GRU with torch gate
+semantics, optional bidirectionality, optional construction as a
+*time-reversed* copy (the FBCRNN backward head), and a CNN1d output net.
+
+TPU-first notes: the input projections of every timestep are computed as
+one large (B*T, F) x (F, 3H) matmul *outside* the scan (MXU-friendly);
+``lax.scan`` then only carries the (B, H) x (H, 3H) recurrent matmul per
+step. Sequences are padded; the reversed/bidirectional paths use
+mask-aware sequence reversal so padding never leaks into the recurrence
+from the front.
+"""
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pb_sed_tpu.ops.cnn import CNN1d
+from pb_sed_tpu.ops.masking import reverse_sequence
+from pb_sed_tpu.utils.config import Configurable
+
+
+class GRULayer(nn.Module):
+    """Single GRU layer with torch gate ordering (r, z, n)."""
+    hidden_size: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, h0=None):
+        """x: (B, T, F) -> (B, T, H)."""
+        b, t, f = x.shape
+        hdim = self.hidden_size
+        w_ih = self.param('w_ih', nn.initializers.lecun_normal(),
+                          (f, 3 * hdim))
+        w_hh = self.param('w_hh', nn.initializers.orthogonal(),
+                          (hdim, 3 * hdim))
+        if self.bias:
+            b_ih = self.param('b_ih', nn.initializers.zeros, (3 * hdim,))
+            b_hh = self.param('b_hh', nn.initializers.zeros, (3 * hdim,))
+        else:
+            b_ih = b_hh = jnp.zeros((3 * hdim,))
+        # all input projections in one MXU matmul, outside the scan
+        xw = x @ w_ih + b_ih  # (B, T, 3H)
+        if h0 is None:
+            h0 = jnp.zeros((b, hdim), dtype=x.dtype)
+
+        def step(h, xw_t):
+            hw = h @ w_hh + b_hh
+            xr, xz, xn = jnp.split(xw_t, 3, axis=-1)
+            hr, hz, hn = jnp.split(hw, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h_new = (1. - z) * n + z * h
+            return h_new, h_new
+
+        _, ys = jax.lax.scan(step, h0, jnp.swapaxes(xw, 0, 1))
+        return jnp.swapaxes(ys, 0, 1)
+
+
+class StackedGRU(nn.Module):
+    """Multi-layer (optionally bidirectional) GRU over padded batches."""
+    hidden_size: int
+    num_layers: int = 1
+    bias: bool = True
+    dropout: float = 0.
+    bidirectional: bool = False
+    input_size: int = None  # informational (config glue)
+
+    @nn.compact
+    def __call__(self, x, seq_len, training=False):
+        h = x
+        for i in range(self.num_layers):
+            fwd = GRULayer(self.hidden_size, self.bias,
+                           name=f'layer_{i}_fwd')(h)
+            if self.bidirectional:
+                rev = reverse_sequence(h, seq_len, axis=1)
+                bwd = GRULayer(self.hidden_size, self.bias,
+                               name=f'layer_{i}_bwd')(rev)
+                bwd = reverse_sequence(bwd, seq_len, axis=1)
+                h = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                h = fwd
+            if self.dropout > 0 and training and i < self.num_layers - 1:
+                h = nn.Dropout(self.dropout, deterministic=False)(h)
+        return h
+
+
+class GRU(nn.Module, Configurable):
+    """GRU + output net, the reference's recurrent head.
+
+    ``reverse=True`` builds the FBCRNN backward head: the input is
+    sequence-reversed before the recurrence and the output reversed back,
+    so ``y[t]`` summarizes frames ``t..T-1``
+    (``weak_label/crnn.py:65-67,304-340``).
+    """
+    rnn: dict = None
+    output_net: dict = None
+    reverse: bool = False
+
+    @classmethod
+    def finalize_dogmatic_config(cls, config):
+        if config.get('rnn') is not None:
+            config['rnn'] = {
+                'factory': StackedGRU,
+                'hidden_size': 256,
+                'num_layers': 1,
+                'dropout': 0.,
+                'bidirectional': False,
+                'bias': True,
+            }
+        config['output_net'] = {
+            'factory': CNN1d,
+            'out_channels': [256, 10],
+            'kernel_size': 1,
+            'norm': 'batch',
+            'activation_fn': 'relu',
+            'dropout': 0.,
+            'output_layer': True,
+        }
+
+    def setup(self):
+        if self.rnn is not None:
+            cfg = dict(self.rnn)
+            cfg.pop('factory', None)
+            self.core = StackedGRU(**cfg)
+        else:
+            self.core = None
+        cfg = dict(self.output_net)
+        cfg.pop('factory', None)
+        cfg.setdefault('output_layer', True)
+        self.head = CNN1d(**cfg)
+
+    def __call__(self, x, seq_len, training=False):
+        """(B, T, C) -> (B, T, K) scores (time-major internally)."""
+        if seq_len is None:
+            seq_len = jnp.full((x.shape[0],), x.shape[1], dtype=jnp.int32)
+        h = x
+        if self.core is not None:
+            if self.reverse:
+                h = reverse_sequence(h, seq_len, axis=1)
+            h = self.core(h, seq_len, training=training)
+            if self.reverse:
+                h = reverse_sequence(h, seq_len, axis=1)
+        y, seq_len = self.head(h, seq_len, training=training)
+        return y, seq_len
+
+
+class TransformerEncoder(nn.Module, Configurable):
+    """Causal Transformer alternative to the GRU head
+    (``experiments/weak_label_crnn/training.py:275-281``)."""
+    rnn: dict = None
+    output_net: dict = None
+    reverse: bool = False
+
+    @classmethod
+    def finalize_dogmatic_config(cls, config):
+        config['rnn'] = {
+            'hidden_size': 256, 'd_ff': 1024, 'num_layers': 6,
+            'dropout': 0.2, 'num_heads': 8,
+        }
+        config['output_net'] = {
+            'factory': CNN1d,
+            'out_channels': [256, 10],
+            'kernel_size': 1,
+            'norm': 'batch',
+            'activation_fn': 'relu',
+            'dropout': 0.,
+            'output_layer': True,
+        }
+
+    def setup(self):
+        cfg = dict(self.rnn or {})
+        cfg.pop('factory', None)
+        cfg.pop('input_size', None)
+        self.hidden_size = cfg.get('hidden_size', 256)
+        self.d_ff = cfg.get('d_ff', 1024)
+        self.num_layers = cfg.get('num_layers', 6)
+        self.dropout_rate = cfg.get('dropout', 0.2)
+        self.num_heads = cfg.get('num_heads', 8)
+        head_cfg = dict(self.output_net)
+        head_cfg.pop('factory', None)
+        head_cfg.setdefault('output_layer', True)
+        self.head = CNN1d(**head_cfg)
+        self.in_proj = nn.Dense(self.hidden_size)
+        self.blocks = [
+            _TransformerBlock(
+                self.hidden_size, self.d_ff, self.num_heads,
+                self.dropout_rate, name=f'block_{i}')
+            for i in range(self.num_layers)
+        ]
+
+    def __call__(self, x, seq_len, training=False):
+        if seq_len is None:
+            seq_len = jnp.full((x.shape[0],), x.shape[1], dtype=jnp.int32)
+        h = x
+        if self.reverse:
+            h = reverse_sequence(h, seq_len, axis=1)
+        h = self.in_proj(h)
+        t = h.shape[1]
+        pos = jnp.arange(t)
+        causal = pos[None, :] <= pos[:, None]  # (T, T) lower triangular
+        valid = pos[None, :] < seq_len[:, None]  # (B, T)
+        mask = causal[None, None] & valid[:, None, None, :]
+        for block in self.blocks:
+            h = block(h, mask, training=training)
+        if self.reverse:
+            h = reverse_sequence(h, seq_len, axis=1)
+        y, seq_len = self.head(h, seq_len, training=training)
+        return y, seq_len
+
+
+class _TransformerBlock(nn.Module):
+    hidden_size: int
+    d_ff: int
+    num_heads: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, mask, training=False):
+        h = nn.LayerNorm()(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.hidden_size,
+            dropout_rate=self.dropout, deterministic=not training,
+        )(h, h, mask=mask)
+        x = x + h
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(self.d_ff)(h)
+        h = nn.relu(h)
+        if self.dropout > 0 and training:
+            h = nn.Dropout(self.dropout, deterministic=False)(h)
+        h = nn.Dense(self.hidden_size)(h)
+        return x + h
