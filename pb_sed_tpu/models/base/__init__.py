@@ -1,0 +1,1 @@
+from pb_sed_tpu.models.base.model import SoundEventModel

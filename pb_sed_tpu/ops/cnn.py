@@ -242,12 +242,15 @@ class CNN(nn.Module, Configurable):
         config['cnn_1d'] = {'factory': CNN1d}
 
     def setup(self):
-        cfg2d = dict(self.cnn_2d)
-        cfg2d.pop('factory', None)
-        cfg1d = dict(self.cnn_1d)
-        cfg1d.pop('factory', None)
-        self.tower_2d = CNN2d(**cfg2d)
-        self.tower_1d = CNN1d(**cfg1d)
+        def build(spec, cls):
+            if isinstance(spec, cls):
+                return spec
+            cfg = dict(spec)
+            cfg.pop('factory', None)
+            return cls(**cfg)
+
+        self.tower_2d = build(self.cnn_2d, CNN2d)
+        self.tower_1d = build(self.cnn_1d, CNN1d)
 
     def __call__(self, x, seq_len, condition=None, training=False):
         """

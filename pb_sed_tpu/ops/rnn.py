@@ -125,16 +125,21 @@ class GRU(nn.Module, Configurable):
         }
 
     def setup(self):
-        if self.rnn is not None:
+        if self.rnn is None:
+            self.core = None
+        elif isinstance(self.rnn, StackedGRU):
+            self.core = self.rnn
+        else:
             cfg = dict(self.rnn)
             cfg.pop('factory', None)
             self.core = StackedGRU(**cfg)
+        if isinstance(self.output_net, CNN1d):
+            self.head = self.output_net
         else:
-            self.core = None
-        cfg = dict(self.output_net)
-        cfg.pop('factory', None)
-        cfg.setdefault('output_layer', True)
-        self.head = CNN1d(**cfg)
+            cfg = dict(self.output_net)
+            cfg.pop('factory', None)
+            cfg.setdefault('output_layer', True)
+            self.head = CNN1d(**cfg)
 
     def __call__(self, x, seq_len, training=False):
         """(B, T, C) -> (B, T, K) scores (time-major internally)."""

@@ -86,6 +86,9 @@ class DogmaticConfig(MutableMapping):
     def __init__(self):
         self._data = {}
         self._dogmatic = set()
+        # priority per key: dogmatic (user) > 'strong' (explicit update(),
+        # e.g. mirrored configs) > plain defaults (signature/finalize)
+        self._strong = set()
         self._finalized_factories = []
 
     # -- construction -----------------------------------------------------
@@ -126,42 +129,40 @@ class DogmaticConfig(MutableMapping):
             return default
 
     def __setitem__(self, key, value):
+        self._write(key, value, overwrite=True, strong=False)
+
+    def _write(self, key, value, overwrite, strong):
         if key in self._dogmatic:
-            # dogma wins; dict-valued assignment merges as defaults
+            # dogma wins; dict-valued assignment still merges defaults into
+            # any protected sub-config
             existing = self._data.get(key)
             if isinstance(existing, DogmaticConfig) and isinstance(
                     value, (Mapping, DogmaticConfig)):
-                existing._merge_defaults(value)
+                existing._merge_defaults(value, overwrite=overwrite,
+                                         strong=strong)
             return
         existing = self._data.get(key)
         if isinstance(existing, DogmaticConfig) and isinstance(
                 value, (Mapping, DogmaticConfig)):
-            existing._merge_defaults(value, overwrite=True)
+            existing._merge_defaults(value, overwrite=overwrite,
+                                     strong=strong)
+            return
+        if not strong and key in self._strong:
+            return  # plain defaults never displace strong values
+        if not overwrite and key in self._data:
             return
         if isinstance(value, (Mapping, DogmaticConfig)) and not isinstance(
                 value, DogmaticConfig):
             sub = DogmaticConfig()
-            sub._merge_defaults(value, overwrite=True)
+            sub._merge_defaults(value, overwrite=True, strong=strong)
             value = sub
         self._data[key] = value
+        if strong:
+            self._strong.add(key)
 
-    def _merge_defaults(self, mapping, overwrite=False):
+    def _merge_defaults(self, mapping, overwrite=False, strong=False):
         for key, value in mapping.items():
-            if isinstance(value, (Mapping, DogmaticConfig)):
-                existing = self._data.get(key)
-                if isinstance(existing, DogmaticConfig):
-                    existing._merge_defaults(value, overwrite=overwrite)
-                elif key in self._dogmatic:
-                    continue
-                else:
-                    sub = DogmaticConfig()
-                    sub._merge_defaults(value, overwrite=True)
-                    self._data[key] = sub
-            else:
-                if key in self._dogmatic:
-                    continue
-                if overwrite or key not in self._data:
-                    self._data[key] = value
+            self._write(key, value, overwrite=overwrite, strong=strong)
 
     def __delitem__(self, key):
         del self._data[key]
@@ -185,12 +186,12 @@ class DogmaticConfig(MutableMapping):
 
     # -- dogmatic helpers -------------------------------------------------
     def update(self, other=(), reverse=False, **kwargs):
-        """``reverse=True`` merges ``other`` as low-priority defaults."""
+        """Explicit updates are 'strong': they beat sub-factory defaults but
+        lose to user-dogmatic values. ``reverse=True`` keeps existing strong
+        values in place (mirror-as-defaults semantics,
+        reference ``weak_label/crnn.py:340``)."""
         items = dict(other, **kwargs)
-        if reverse:
-            self._merge_defaults(items, overwrite=False)
-        else:
-            self._merge_defaults(items, overwrite=True)
+        self._merge_defaults(items, overwrite=not reverse, strong=True)
 
     def fill_defaults(self):
         """Fill signature defaults + run ``finalize_dogmatic_config``."""
