@@ -1,0 +1,140 @@
+"""Batch assembly: Collate to fixed padded shapes + DataFetcher policy.
+
+Capability parity with ``pb_sed/data_preparation/fetcher.py:6-52``
+(prefetch, optional shuffles, dynamic bucketing, Collate, final prefetch)
+and padertorch ``Collate`` (pad variable-length arrays, stack, keep lists
+for non-array fields).
+
+TPU-first: Collate pads every batch to its bucket's palette length
+(frames) and pads the waveform to exactly the sample count that yields
+that many STFT frames (``STFT.num_samples_for_frames``), so each palette
+length maps to ONE compiled XLA program.
+"""
+import dataclasses
+
+import numpy as np
+
+from pb_sed_tpu.data.bucketing import (
+    DynamicBucketDataset, DynamicTimeSeriesBucket)
+from pb_sed_tpu.utils.config import Configurable
+
+
+HOST_KEYS = ('example_id', 'dataset')
+
+
+@dataclasses.dataclass
+class Collate:
+    """List of example dicts -> batch dict of stacked padded arrays."""
+    pad_frames_to: int = None          # palette length (None: batch max)
+    frames_to_samples: object = None   # callable T -> S (from STFT geometry)
+
+    def __call__(self, examples):
+        assert len(examples) > 0
+        batch = {}
+        keys = examples[0].keys()
+        max_frames = max(ex['seq_len'] for ex in examples)
+        t_pad = self.pad_frames_to or max_frames
+        if callable(self.frames_to_samples):
+            s_pad = int(self.frames_to_samples(t_pad))
+        else:
+            s_pad = max(
+                np.shape(ex.get('audio_data', []))[-1] for ex in examples)
+        for key in keys:
+            values = [ex[key] for ex in examples]
+            first = values[0]
+            if key in HOST_KEYS or isinstance(first, str):
+                batch[key] = values
+            elif key == 'audio_data':
+                batch[key] = np.stack([
+                    _pad_last(np.asarray(v, np.float32), s_pad)
+                    for v in values])
+            elif isinstance(first, np.ndarray) and first.ndim >= 1:
+                # (K,) stacks directly; (K, T) pads time
+                if first.ndim >= 2 or key.endswith('_targets') \
+                        and first.ndim == 2:
+                    batch[key] = np.stack(
+                        [_pad_last(np.asarray(v), t_pad) for v in values])
+                else:
+                    batch[key] = np.stack([np.asarray(v) for v in values])
+            else:
+                batch[key] = np.asarray(values)
+        if 'seq_len' in batch:
+            batch['seq_len'] = np.asarray(batch['seq_len'], np.int32)
+        if 'seq_len_samples' in batch:
+            batch['seq_len_samples'] = np.asarray(
+                batch['seq_len_samples'], np.int32)
+        return batch
+
+
+def _pad_last(arr, target):
+    pad = target - arr.shape[-1]
+    if pad <= 0:
+        return arr[..., :target]
+    width = [(0, 0)] * (arr.ndim - 1) + [(0, pad)]
+    return np.pad(arr, width)
+
+
+@dataclasses.dataclass
+class DataFetcher(Configurable):
+    """Batching policy (reference ``DataFetcher`` surface + palette knobs)."""
+    prefetch_workers: int = 2
+    global_shuffle: bool = False
+    local_shuffle_buffer_size: int = 0
+    batch_size: int = None
+    max_padding_rate: float = 0.1
+    pad_to_multiple: int = 64
+    min_label_diversity_in_batch: int = 0
+    min_dataset_examples_in_batch: dict = None
+    bucket_expiration: int = None
+    max_bucket_buffer_size: int = None
+    drop_incomplete: bool = False
+    # wired by the provider: STFT geometry config for exact waveform padding
+    stft: dict = None
+
+    def __call__(self, dataset, batched_input=False):
+        if self.global_shuffle:
+            dataset = dataset.shuffle(reshuffle=True)
+        if self.prefetch_workers > 0:
+            dataset = dataset.prefetch(
+                self.prefetch_workers, 2 * self.prefetch_workers)
+        if batched_input:
+            dataset = dataset.unbatch()
+        if self.local_shuffle_buffer_size > 0 and not self.global_shuffle:
+            dataset = dataset.shuffle(
+                buffer_size=self.local_shuffle_buffer_size)
+        if self.batch_size is not None:
+            bucketer = DynamicBucketDataset(
+                dataset, DynamicTimeSeriesBucket,
+                batch_size=self.batch_size,
+                len_key='seq_len',
+                max_padding_rate=self.max_padding_rate,
+                pad_to_multiple=self.pad_to_multiple,
+                min_label_diversity=self.min_label_diversity_in_batch,
+                label_key='weak_targets',
+                min_dataset_examples=self.min_dataset_examples_in_batch,
+                expiration=self.bucket_expiration,
+                max_buffered_examples=self.max_bucket_buffer_size,
+                drop_incomplete=self.drop_incomplete,
+                sort_key='seq_len', reverse_sort=True,
+            )
+            multiple = self.pad_to_multiple
+            frames_to_samples = None
+            if self.stft is not None:
+                from pb_sed_tpu.ops.stft import STFT
+                if isinstance(self.stft, STFT):
+                    geometry = self.stft
+                else:
+                    cfg = {k: v for k, v in dict(self.stft).items()
+                           if k != 'factory'}
+                    geometry = STFT(**cfg)
+                frames_to_samples = geometry.num_samples_for_frames
+
+            def collate(batch):
+                t_pad = -(-max(ex['seq_len'] for ex in batch)
+                          // multiple) * multiple
+                return Collate(
+                    pad_frames_to=t_pad,
+                    frames_to_samples=frames_to_samples)(batch)
+
+            dataset = bucketer.map(collate).prefetch(1, 4)
+        return dataset
