@@ -1,0 +1,63 @@
+"""Lightweight energy/emissions tracking (codecarbon-surface parity).
+
+The reference wraps tuning/inference/training in codecarbon's
+``EmissionsTracker`` (``experiments/weak_label_crnn/tuning.py:93-95,248``,
+``training.py:397-400``). This environment has no codecarbon and no power
+counters, so we provide the same start/stop/flush API backed by wall-clock
+x a configurable device TDP estimate, appended to ``emissions.csv``.
+"""
+import csv
+import time
+from pathlib import Path
+
+import jax
+
+# rough board powers (W) for the energy estimate
+_TDP_BY_PLATFORM = {'tpu': 200., 'gpu': 300., 'cpu': 50.}
+
+
+class EmissionsTracker:
+    def __init__(self, output_dir, on_csv_write='update',
+                 carbon_intensity_g_per_kwh=450.):
+        self.output_dir = Path(output_dir)
+        self.carbon_intensity = carbon_intensity_g_per_kwh
+        self.start_time = None
+        self.on_csv_write = on_csv_write
+
+    def start(self):
+        self.start_time = time.time()
+
+    def __enter__(self):
+        self.start()
+        return self
+
+    def stop(self):
+        if self.start_time is None:
+            return None
+        duration = time.time() - self.start_time
+        devices = jax.devices()
+        platform = devices[0].platform if devices else 'cpu'
+        tdp = _TDP_BY_PLATFORM.get(platform, 100.)
+        energy_kwh = tdp * len(devices) * duration / 3600. / 1000.
+        emissions_kg = energy_kwh * self.carbon_intensity / 1000.
+        self._write(duration, energy_kwh, emissions_kg, platform,
+                    len(devices))
+        self.start_time = None
+        return emissions_kg
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def _write(self, duration, energy_kwh, emissions_kg, platform, n):
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        path = self.output_dir / 'emissions.csv'
+        new = not path.exists()
+        with path.open('a', newline='') as fid:
+            writer = csv.writer(fid)
+            if new:
+                writer.writerow([
+                    'timestamp', 'duration_s', 'platform', 'num_devices',
+                    'energy_kwh', 'emissions_kg'])
+            writer.writerow([
+                time.strftime('%Y-%m-%dT%H:%M:%S'), f'{duration:.1f}',
+                platform, n, f'{energy_kwh:.6f}', f'{emissions_kg:.6f}'])

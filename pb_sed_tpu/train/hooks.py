@@ -1,0 +1,110 @@
+"""Trainer triggers and hooks.
+
+Capability parity with padertorch's trigger/hook surface used by the
+reference (``experiments/weak_label_crnn/training.py:18-19,369-396``):
+``(N, 'iteration')`` interval triggers, ``AllTrigger`` / ``EndTrigger`` /
+``NotTrigger`` composition, ``LRAnnealingHook`` with piecewise-linear
+breakpoints, and the validation hook policy (metric tracking, best
+checkpoints, LR back-off, early stopping) which lives in the Trainer.
+"""
+import numpy as np
+
+
+class IntervalTrigger:
+    """Fires every ``period`` units; accepts the ``(N, 'iteration')`` form."""
+
+    def __init__(self, period, unit='iteration'):
+        if isinstance(period, (tuple, list)):
+            period, unit = period
+        assert unit in ('iteration', 'epoch'), unit
+        self.period = int(period)
+        self.unit = unit
+        self.last = -1
+
+    def __call__(self, iteration, epoch=0):
+        index = iteration if self.unit == 'iteration' else epoch
+        if index // self.period > self.last:
+            self.last = index // self.period
+            return True
+        return False
+
+
+class EndTrigger(IntervalTrigger):
+    """True once ``iteration >= period`` (stop condition)."""
+
+    def __call__(self, iteration, epoch=0):
+        index = iteration if self.unit == 'iteration' else epoch
+        return index >= self.period
+
+
+class AllTrigger:
+    def __init__(self, *triggers):
+        self.triggers = [
+            t if callable(t) else IntervalTrigger(t) for t in triggers]
+
+    def __call__(self, iteration, epoch=0):
+        return all(t(iteration, epoch) for t in self.triggers)
+
+
+class AnyTrigger:
+    def __init__(self, *triggers):
+        self.triggers = [
+            t if callable(t) else IntervalTrigger(t) for t in triggers]
+
+    def __call__(self, iteration, epoch=0):
+        return any(t(iteration, epoch) for t in self.triggers)
+
+
+class NotTrigger:
+    def __init__(self, trigger):
+        self.trigger = trigger if callable(trigger) else IntervalTrigger(
+            trigger)
+
+    def __call__(self, iteration, epoch=0):
+        return not self.trigger(iteration, epoch)
+
+
+class Hook:
+    def pre_step(self, trainer):
+        pass
+
+    def post_step(self, trainer, batch, loss, summary):
+        pass
+
+    def close(self, trainer):
+        pass
+
+
+class LRAnnealingHook(Hook):
+    """Piecewise-linear learning-rate factor over iterations.
+
+    ``breakpoints = [(it, factor), ...]``: the factor is linearly
+    interpolated between breakpoints and held constant after the last one
+    (rampup = [(0, 0), (n, 1)]; decay steps = duplicated breakpoints with a
+    factor jump), matching the reference's usage
+    (``training.py:380-396``).
+    """
+
+    def __init__(self, trigger=None, breakpoints=(), unit='iteration',
+                 name=None):
+        self.trigger = trigger
+        self.breakpoints = sorted(breakpoints, key=lambda x: x[0])
+        self.unit = unit
+        self.name = name
+
+    def factor(self, iteration):
+        bps = self.breakpoints
+        if not bps:
+            return 1.
+        if iteration <= bps[0][0]:
+            return float(bps[0][1])
+        for (x0, y0), (x1, y1) in zip(bps[:-1], bps[1:]):
+            if x0 <= iteration <= x1:
+                if x1 == x0:
+                    return float(y1)
+                t = (iteration - x0) / (x1 - x0)
+                return float(y0 + t * (y1 - y0))
+        return float(bps[-1][1])
+
+    def pre_step(self, trainer):
+        trainer.lr_factor_annealing = self.factor(trainer.iteration)

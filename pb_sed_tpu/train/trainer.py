@@ -1,0 +1,479 @@
+"""Trainer: jitted SPMD train loop with hooks, validation, checkpointing.
+
+Capability parity with the padertorch Trainer contract the reference
+consumes (SURVEY.md §1/L3, §2.3b):
+``Trainer.get_config/from_config``, ``test_run(train_set, validate_set)``,
+``register_validation_hook(metric=..., maximize, n_back_off,
+back_off_patience, lr_update_factor, early_stopping_patience)``,
+``register_hook(LRAnnealingHook(...))``,
+``train(train_set, resume=..., device=..., track_emissions=...)``,
+``(N, 'iteration')`` summary/checkpoint/stop triggers, best-checkpoint
+tracking named ``ckpt_best_<metric>``, resume from the latest checkpoint,
+and ``{'model': flat_state_dict}`` checkpoint layout enabling partial-load
+surgery.
+
+TPU-first design:
+- ONE jitted train step per padded batch shape: loss + grads + optax update
+  + masked-BN stat updates fused into a single XLA program.
+- SPMD data parallelism via ``jax.sharding``: the batch is sharded over the
+  mesh's ``data`` axis, parameters/optimizer state are replicated, and XLA
+  emits the psum gradient reduction over ICI — no hand-written collectives.
+- The learning rate enters the step as a dynamic scalar, so host-side LR
+  annealing and validation back-off never trigger recompilation.
+- Summaries buffer on host (numpy) and flush on the summary trigger to
+  tensorboardX event files + a jsonl log.
+"""
+import pickle
+import shutil
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pb_sed_tpu.parallel.mesh import (
+    batch_sharding, get_mesh, pad_batch_to_multiple, replicated_sharding)
+from pb_sed_tpu.train.hooks import EndTrigger, Hook, IntervalTrigger
+from pb_sed_tpu.train.optimizer import Adam
+from pb_sed_tpu.utils.config import Configurable
+from pb_sed_tpu.utils.misc import dump_json
+
+
+class Trainer(Configurable):
+    def __init__(self, model, optimizer=None, storage_dir=None,
+                 summary_trigger=(100, 'iteration'),
+                 checkpoint_trigger=(1000, 'iteration'),
+                 stop_trigger=(10000, 'iteration'),
+                 keep_checkpoints=1, seed=0, use_mesh=True,
+                 loss_scale=None):
+        self.model = model
+        self.optimizer = optimizer if optimizer is not None else Adam()
+        self.storage_dir = Path(storage_dir) if storage_dir else None
+        self.summary_trigger = IntervalTrigger(summary_trigger)
+        self.checkpoint_trigger = IntervalTrigger(checkpoint_trigger)
+        self.stop_trigger = EndTrigger(stop_trigger)
+        self.keep_checkpoints = keep_checkpoints
+        self.seed = seed
+        self.iteration = 0
+        self.epoch = 0
+        self.hooks = []
+        self.lr_factor_annealing = 1.
+        self.lr_factor_backoff = 1.
+        self.validation_hook = None
+        self.opt_state = None
+        self._tx = self.optimizer.make_transform()
+        self._step_fn = None
+        self._val_fn = None
+        self._writer = None
+        self._summary = _empty_summary()
+        self.mesh = get_mesh() if use_mesh else None
+        self._rng = jax.random.PRNGKey(seed)
+        self._frozen_mask = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def finalize_dogmatic_config(cls, config):
+        config['optimizer'] = {'factory': Adam}
+
+    # ------------------------------------------------------------------
+    # hooks / validation registration (reference training.py:369-396)
+    # ------------------------------------------------------------------
+    def register_hook(self, hook):
+        assert isinstance(hook, Hook), type(hook)
+        self.hooks.append(hook)
+
+    def register_validation_hook(
+            self, validate_set, metric='loss', maximize=False,
+            back_off_patience=None, n_back_off=0, lr_update_factor=1.,
+            early_stopping_patience=None):
+        self.validation_hook = {
+            'validate_set': validate_set,
+            'metric': metric,
+            'maximize': maximize,
+            'back_off_patience': back_off_patience,
+            'n_back_off': n_back_off,
+            'back_offs_done': 0,
+            'lr_update_factor': lr_update_factor,
+            'early_stopping_patience': early_stopping_patience,
+            'best': -np.inf if maximize else np.inf,
+            'validations_since_best': 0,
+        }
+
+    def freeze(self, predicate):
+        """Freeze parameters whose flat path satisfies ``predicate``
+        (transfer-learning layer freezing, reference
+        ``training.py:343-350``). Frozen params get zero updates."""
+        flat = _flatten_with_paths(self.model.params)
+        self._frozen_mask = {
+            path: bool(predicate(path)) for path, _ in flat}
+        self._step_fn = None  # rebuild with the mask baked in
+
+    # ------------------------------------------------------------------
+    # jitted step construction
+    # ------------------------------------------------------------------
+    def _ensure_ready(self, batch):
+        if self.model.variables is None:
+            device_batch = _device_batch(batch)
+            self.model.init_variables(device_batch, seed=self.seed)
+        if self.opt_state is None:
+            self.opt_state = self._tx.init(self.model.variables['params'])
+        if self._step_fn is None:
+            self._build_step_fns()
+
+    def _build_step_fns(self):
+        model = self.model
+        tx = self._tx
+        frozen = self._frozen_mask
+
+        def train_step(variables, opt_state, batch, rng, lr):
+            rngs = {'augment': jax.random.fold_in(rng, 0),
+                    'dropout': jax.random.fold_in(rng, 1)}
+
+            def loss_of(params):
+                vs = dict(variables)
+                vs['params'] = params
+                return model.loss_fn(vs, batch, rngs, training=True)
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(variables['params'])
+            mutated, scalars, buffers, images = aux
+            updates, opt_state = tx.update(
+                grads, opt_state, variables['params'])
+            if frozen is not None:
+                updates = _mask_frozen(updates, frozen)
+            grad_norm = optax_global_norm(grads)
+            params = jax.tree_util.tree_map(
+                lambda p, u: p - lr * u, variables['params'], updates)
+            new_vars = dict(variables)
+            new_vars['params'] = params
+            if 'batch_stats' in mutated:
+                new_vars['batch_stats'] = mutated['batch_stats']
+            scalars = dict(scalars)
+            scalars['grad_norm'] = grad_norm
+            scalars['lr'] = lr
+            return new_vars, opt_state, loss, scalars, buffers, images
+
+        def val_step(variables, batch):
+            loss, aux = model.loss_fn(variables, batch, rngs={},
+                                      training=False)
+            _, scalars, buffers, images = aux
+            return loss, scalars, buffers, images
+
+        if self.mesh is not None and len(self.mesh.devices.flat) > 1:
+            repl = replicated_sharding(self.mesh)
+            data = batch_sharding(self.mesh)
+            self._step_fn = jax.jit(
+                train_step,
+                in_shardings=(repl, repl, data, repl, repl),
+                out_shardings=(repl, repl, repl, repl, repl, repl),
+                donate_argnums=(0, 1),
+            )
+            self._val_fn = jax.jit(
+                val_step, in_shardings=(repl, data),
+            )
+        else:
+            self._step_fn = jax.jit(train_step, donate_argnums=(0, 1))
+            self._val_fn = jax.jit(val_step)
+
+    @property
+    def learning_rate(self):
+        return (self.optimizer.lr * self.lr_factor_annealing
+                * self.lr_factor_backoff)
+
+    # ------------------------------------------------------------------
+    # train loop
+    # ------------------------------------------------------------------
+    def train(self, train_set, resume=False, device=None,
+              track_emissions=False):
+        del device  # devices come from the mesh
+        tracker = None
+        if track_emissions and self.storage_dir is not None:
+            from pb_sed_tpu.train.emissions import EmissionsTracker
+            tracker = EmissionsTracker(output_dir=self.storage_dir)
+            tracker.start()
+        if resume:
+            self.load_latest_checkpoint()
+        try:
+            while not self.stop_trigger(self.iteration, self.epoch):
+                for batch in train_set:
+                    if self.stop_trigger(self.iteration, self.epoch):
+                        break
+                    self.train_step(batch)
+                self.epoch += 1
+            # final checkpoint + validation
+            self._flush_summary(prefix='training')
+            if self.validation_hook is not None:
+                self.validate()
+            self.save_checkpoint()
+        finally:
+            if tracker is not None:
+                tracker.stop()
+            if self._writer is not None:
+                self._writer.flush()
+
+    def train_step(self, batch):
+        self._ensure_ready(batch)
+        for hook in self.hooks:
+            hook.pre_step(self)
+        mesh_size = (len(self.mesh.devices.flat)
+                     if self.mesh is not None else 1)
+        batch, _ = pad_batch_to_multiple(batch, mesh_size)
+        device_batch = _device_batch(batch)
+        self._rng, step_rng = jax.random.split(self._rng)
+        variables, self.opt_state, loss, scalars, buffers, images = (
+            self._step_fn(
+                self.model.variables, self.opt_state, device_batch,
+                step_rng, jnp.float32(self.learning_rate)))
+        self.model.variables = variables
+        self.iteration += 1
+        self._accumulate_summary(loss, scalars, buffers, images)
+        if self.summary_trigger(self.iteration):
+            self._flush_summary(prefix='training')
+        if self.checkpoint_trigger(self.iteration):
+            self.save_checkpoint()
+            if self.validation_hook is not None:
+                self.validate()
+        for hook in self.hooks:
+            hook.post_step(self, batch, loss, None)
+        return loss
+
+    # ------------------------------------------------------------------
+    # validation (metric tracking, back-off, early stopping, best ckpt)
+    # ------------------------------------------------------------------
+    def validate(self):
+        hook = self.validation_hook
+        summary = _empty_summary()
+        mesh_size = (len(self.mesh.devices.flat)
+                     if self.mesh is not None else 1)
+        for batch in hook['validate_set']:
+            batch, _ = pad_batch_to_multiple(batch, mesh_size)
+            device_batch = _device_batch(batch)
+            loss, scalars, buffers, images = self._val_fn(
+                self.model.variables, device_batch)
+            _merge_summary(summary, self.model, loss, scalars, buffers,
+                           images)
+        summary = self.model.modify_summary(summary)
+        self._write_summary(summary, prefix='validation')
+        metric_name = hook['metric']
+        value = summary['scalars'].get(metric_name)
+        assert value is not None, (
+            metric_name, sorted(summary['scalars']))
+        improved = (value > hook['best'] if hook['maximize']
+                    else value < hook['best'])
+        if improved:
+            hook['best'] = value
+            hook['validations_since_best'] = 0
+            self.save_checkpoint(name=f'ckpt_best_{metric_name}.pkl')
+        else:
+            hook['validations_since_best'] += 1
+            patience = hook['back_off_patience']
+            if (patience is not None
+                    and hook['back_offs_done'] < hook['n_back_off']
+                    and hook['validations_since_best'] >= patience):
+                self.lr_factor_backoff *= hook['lr_update_factor']
+                hook['back_offs_done'] += 1
+                hook['validations_since_best'] = 0
+                print(f'Backing off lr to {self.learning_rate}')
+        print(f'Validation {metric_name}: {value:.4f} '
+              f'(best {hook["best"]:.4f})')
+        es = hook['early_stopping_patience']
+        if es is not None and hook['validations_since_best'] >= es:
+            print('Early stopping')
+            self.stop_trigger.period = 0
+        return value
+
+    # ------------------------------------------------------------------
+    # test run (padertorch dry-run contract, reference training.py:368)
+    # ------------------------------------------------------------------
+    def test_run(self, train_set, validate_set=None):
+        print('Starting test run')
+        batch = next(iter(train_set))
+        self._ensure_ready(batch)
+        it, self.iteration = self.iteration, 0
+        loss = self.train_step(batch)
+        assert np.isfinite(float(loss)), float(loss)
+        if validate_set is not None:
+            vbatch = next(iter(validate_set))
+            mesh_size = (len(self.mesh.devices.flat)
+                         if self.mesh is not None else 1)
+            vbatch, _ = pad_batch_to_multiple(vbatch, mesh_size)
+            vloss, *_ = self._val_fn(
+                self.model.variables, _device_batch(vbatch))
+            assert np.isfinite(float(vloss)), float(vloss)
+        self.iteration = it
+        self._summary = _empty_summary()
+        print('Finished test run')
+
+    # ------------------------------------------------------------------
+    # summaries
+    # ------------------------------------------------------------------
+    def _accumulate_summary(self, loss, scalars, buffers, images):
+        s = self._summary
+        s['scalars'].setdefault('loss', []).append(float(loss))
+        for key, value in scalars.items():
+            s['scalars'].setdefault(key, []).append(float(np.asarray(value)))
+        review = None
+        if hasattr(self.model, 'review_from_aux'):
+            review = self.model.review_from_aux(
+                loss, (None, {}, buffers, {}))
+        if review:
+            for key, value in review['buffers'].items():
+                s['buffers'].setdefault(key, []).append(value)
+        s['images'] = {k: np.asarray(v) for k, v in images.items()}
+
+    def _flush_summary(self, prefix):
+        if not self._summary['scalars']:
+            return
+        summary = self.model.modify_summary(self._summary)
+        self._write_summary(summary, prefix=prefix)
+        self._summary = _empty_summary()
+
+    def _write_summary(self, summary, prefix):
+        if self.storage_dir is None:
+            return
+        if self._writer is None:
+            try:
+                from tensorboardX import SummaryWriter
+                self._writer = SummaryWriter(logdir=str(self.storage_dir))
+            except ImportError:
+                self._writer = False
+        scalars = summary['scalars']
+        if self._writer:
+            for key, value in scalars.items():
+                self._writer.add_scalar(
+                    f'{prefix}/{key}', value, self.iteration)
+            for key, image in summary.get('images', {}).items():
+                if image is not None and np.ndim(image) == 2:
+                    self._writer.add_image(
+                        f'{prefix}/{key}', image[None], self.iteration)
+        log_path = self.storage_dir / 'summary.jsonl'
+        with log_path.open('a') as fid:
+            import json
+            fid.write(json.dumps({
+                'iteration': self.iteration, 'prefix': prefix,
+                'time': time.time(),
+                **{k: v for k, v in scalars.items()},
+            }) + '\n')
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+    @property
+    def checkpoint_dir(self):
+        assert self.storage_dir is not None
+        return self.storage_dir / 'checkpoints'
+
+    def save_checkpoint(self, name=None):
+        if self.storage_dir is None:
+            return
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        payload = {
+            'model': self.model.state_dict(),
+            'iteration': self.iteration,
+            'epoch': self.epoch,
+            'lr_factor_backoff': self.lr_factor_backoff,
+            'optimizer': _tree_to_numpy(self.opt_state),
+            'rng': np.asarray(self._rng),
+        }
+        if name is None:
+            path = self.checkpoint_dir / f'ckpt_{self.iteration}.pkl'
+            with path.open('wb') as fid:
+                pickle.dump(payload, fid)
+            shutil.copyfile(path, self.checkpoint_dir / 'ckpt_latest.pkl')
+            self._prune_checkpoints()
+        else:
+            with (self.checkpoint_dir / name).open('wb') as fid:
+                pickle.dump(payload, fid)
+
+    def _prune_checkpoints(self):
+        ckpts = sorted(
+            self.checkpoint_dir.glob('ckpt_[0-9]*.pkl'),
+            key=lambda p: int(p.stem.split('_')[1]))
+        for path in ckpts[:-max(self.keep_checkpoints, 1)]:
+            path.unlink()
+
+    def load_latest_checkpoint(self):
+        path = self.checkpoint_dir / 'ckpt_latest.pkl'
+        if not path.exists():
+            print('No checkpoint to resume from')
+            return False
+        with path.open('rb') as fid:
+            payload = pickle.load(fid)
+        self.model.load_state_dict(payload['model'], strict=False)
+        self.iteration = payload['iteration']
+        self.epoch = payload.get('epoch', 0)
+        self.lr_factor_backoff = payload.get('lr_factor_backoff', 1.)
+        if payload.get('optimizer') is not None:
+            if self.opt_state is None:
+                self.opt_state = self._tx.init(
+                    self.model.variables['params'])
+            self.opt_state = _restore_opt_state(
+                self.opt_state, payload['optimizer'])
+        if payload.get('rng') is not None:
+            self._rng = jnp.asarray(payload['rng'])
+        print(f'Resumed from iteration {self.iteration}')
+        return True
+
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+def _empty_summary():
+    return {'scalars': {}, 'buffers': {}, 'images': {}}
+
+
+def _merge_summary(summary, model, loss, scalars, buffers, images):
+    summary['scalars'].setdefault('loss', []).append(float(loss))
+    for key, value in scalars.items():
+        summary['scalars'].setdefault(key, []).append(
+            float(np.asarray(value)))
+    if hasattr(model, 'review_from_aux'):
+        review = model.review_from_aux(loss, (None, {}, buffers, {}))
+        for key, value in review['buffers'].items():
+            summary['buffers'].setdefault(key, []).append(value)
+    summary['images'] = {k: np.asarray(v) for k, v in images.items()}
+
+
+def _device_batch(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if isinstance(v, (np.ndarray, jnp.ndarray))
+            or (isinstance(v, (int, float)) and not isinstance(v, bool))}
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
+
+
+def _flatten_with_paths(tree, prefix=''):
+    out = []
+    if isinstance(tree, dict):
+        for key, value in tree.items():
+            out.extend(_flatten_with_paths(
+                value, f'{prefix}.{key}' if prefix else str(key)))
+    else:
+        out.append((prefix, tree))
+    return out
+
+
+def _mask_frozen(updates, frozen_mask):
+    def mask(path, value):
+        if isinstance(value, dict):
+            return {k: mask(f'{path}.{k}' if path else k, v)
+                    for k, v in value.items()}
+        return jnp.zeros_like(value) if frozen_mask.get(path) else value
+    return mask('', updates)
+
+
+def _tree_to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _restore_opt_state(template, saved):
+    leaves_t, treedef = jax.tree_util.tree_flatten(template)
+    leaves_s = jax.tree_util.tree_leaves(saved)
+    assert len(leaves_t) == len(leaves_s), (len(leaves_t), len(leaves_s))
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(s) for s in leaves_s])

@@ -1,0 +1,166 @@
+"""Trainer tests: jitted step, overfit, triggers, checkpoints, resume,
+validation hook, freezing (runs on the virtual 8-device CPU mesh)."""
+import numpy as np
+import pytest
+
+from pb_sed_tpu.data.provider import DataProvider
+from pb_sed_tpu.models import weak_label
+from pb_sed_tpu.train.hooks import (
+    AllTrigger, EndTrigger, IntervalTrigger, LRAnnealingHook, NotTrigger)
+from pb_sed_tpu.train.trainer import Trainer
+
+from tests.util_synth import build_database
+
+
+def make_provider(tmp_path, batch_size=4):
+    db, json_path = build_database(tmp_path)
+    config = DataProvider.get_config({
+        'json_path': str(json_path),
+        'train_set': {'train_strong': 1, 'train_weak': 1},
+        'validate_set': 'validation',
+        'min_audio_length': 0.2,
+        'storage_dir': str(tmp_path),
+        'train_transform': {
+            'stft': {'shift': 160, 'window_length': 480, 'size': 512},
+            'provide_boundary_targets': True,
+            # no time warp for trainer determinism
+            'anchor_sampling_fn': None,
+            'anchor_shift_sampling_fn': None,
+        },
+        'train_fetcher': {
+            'batch_size': batch_size, 'pad_to_multiple': 16,
+            'prefetch_workers': 0, 'drop_incomplete': True,
+        },
+        'test_fetcher': {
+            'batch_size': batch_size, 'pad_to_multiple': 16,
+            'prefetch_workers': 0,
+        },
+        'mix_interval': None,
+    })
+    provider = DataProvider.from_config(config)
+    provider.train_transform.label_encoder.initialize_labels(
+        dataset=provider.db.get_dataset(['train_strong', 'train_weak']))
+    provider.test_transform.label_encoder.initialize_labels()
+    return provider
+
+
+def make_model(num_events=3):
+    config = weak_label.CRNN.get_config({
+        'feature_extractor': {
+            'sample_rate': 16000, 'stft_size': 512,
+            'stft_shift': 160, 'stft_window_length': 480,
+            'number_of_filters': 16,
+        },
+        'cnn': {
+            'cnn_2d': {'out_channels': [4, 4],
+                       'pool_size': [[2, 1], [2, 1]], 'kernel_size': 3},
+            'cnn_1d': {'out_channels': [8, 8], 'kernel_size': 3},
+        },
+        'rnn_fwd': {
+            'rnn': {'hidden_size': 8, 'num_layers': 1},
+            'output_net': {'out_channels': [8, num_events],
+                           'kernel_size': 1},
+        },
+    })
+    return weak_label.CRNN.from_config(config)
+
+
+def test_triggers():
+    t = IntervalTrigger((3, 'iteration'))
+    fired = [i for i in range(10) if t(i)]
+    assert fired == [0, 3, 6, 9]
+    e = EndTrigger(5)
+    assert not e(4) and e(5) and e(6)
+    a = AllTrigger((2, 'iteration'), NotTrigger(EndTrigger(6)))
+    fired = [i for i in range(10) if a(i)]
+    assert fired == [0, 2, 4]
+
+
+def test_lr_annealing_hook():
+    hook = LRAnnealingHook(breakpoints=[(0, 0.), (10, 1.), (10, 1.),
+                                        (20, 1.), (20, 0.2)])
+    assert hook.factor(0) == 0.
+    assert hook.factor(5) == pytest.approx(0.5)
+    assert hook.factor(15) == 1.
+    assert hook.factor(25) == pytest.approx(0.2)
+
+
+def test_trainer_end_to_end(tmp_path):
+    provider = make_provider(tmp_path / 'db')
+    model = make_model()
+    storage = tmp_path / 'run'
+    trainer = Trainer(
+        model, storage_dir=storage,
+        summary_trigger=(2, 'iteration'),
+        checkpoint_trigger=(4, 'iteration'),
+        stop_trigger=(8, 'iteration'),
+    )
+    trainer.optimizer.lr = 5e-3
+    train_set = provider.get_train_set()
+    validate_set = provider.get_validate_set()
+    trainer.test_run(train_set, validate_set)
+    trainer.register_validation_hook(
+        validate_set, metric='macro_fscore_weak', maximize=True)
+    trainer.register_hook(LRAnnealingHook(
+        breakpoints=[(0, 0.), (4, 1.)]))
+    losses = []
+    trainer.train(train_set)
+    assert trainer.iteration == 8
+    # artifacts
+    assert (storage / 'checkpoints' / 'ckpt_latest.pkl').exists()
+    assert (storage / 'checkpoints'
+            / 'ckpt_best_macro_fscore_weak.pkl').exists()
+    assert (storage / 'summary.jsonl').exists()
+    # lr annealing was applied
+    assert trainer.lr_factor_annealing == 1.
+
+    # resume continues from saved iteration
+    trainer2 = Trainer(
+        make_model(), storage_dir=storage,
+        stop_trigger=(10, 'iteration'),
+    )
+    trainer2.register_validation_hook(
+        validate_set, metric='macro_fscore_weak', maximize=True)
+    batch = next(iter(train_set))
+    trainer2._ensure_ready(batch)
+    assert trainer2.load_latest_checkpoint()
+    assert trainer2.iteration == 8
+    trainer2.train(train_set, resume=False)
+    assert trainer2.iteration == 10
+
+
+def test_trainer_overfits_tiny_batch(tmp_path):
+    provider = make_provider(tmp_path / 'db')
+    model = make_model()
+    trainer = Trainer(model, storage_dir=None,
+                      stop_trigger=(30, 'iteration'))
+    trainer.optimizer.lr = 1e-2
+    batch = next(iter(provider.get_train_set()))
+    trainer._ensure_ready(batch)
+    first = float(trainer.train_step(batch))
+    for _ in range(29):
+        last = float(trainer.train_step(batch))
+    assert last < first, (first, last)
+
+
+def test_freeze_blocks_updates(tmp_path):
+    provider = make_provider(tmp_path / 'db')
+    model = make_model()
+    trainer = Trainer(model, storage_dir=None,
+                      stop_trigger=(3, 'iteration'))
+    batch = next(iter(provider.get_train_set()))
+    trainer._ensure_ready(batch)
+    before = model.state_dict()
+    trainer.freeze(lambda path: path.startswith('cnn.'))
+    trainer.train_step(batch)
+    after = model.state_dict()
+    frozen_keys = [k for k in before
+                   if k.startswith('params.cnn.')
+                   and not ('norm' in k)]  # BN stats may still update
+    moved_keys = [k for k in before if k.startswith('params.rnn_fwd.')
+                  and 'conv' in k and k.endswith('kernel')]
+    assert frozen_keys and moved_keys
+    for k in frozen_keys:
+        np.testing.assert_array_equal(before[k], after[k])
+    assert any(
+        np.abs(before[k] - after[k]).max() > 0 for k in moved_keys)
