@@ -1,0 +1,167 @@
+"""Evaluation backend tests: score dataframes, event extraction,
+clip/collar/intersection metrics on hand-constructed fixtures."""
+import numpy as np
+import pytest
+
+from pb_sed_tpu.evaluation import (
+    clip_based, collar_based, intersection_based)
+from pb_sed_tpu.evaluation.scores import (
+    create_score_dataframe, event_list_from_score_array,
+    lazy_sed_scores_loader, read_ground_truth_events, scores_to_event_list,
+    validate_score_dataframe, write_detection, write_sed_scores)
+from pb_sed_tpu.evaluation.intersection_based import staircase_auc
+
+CLASSES = ['a', 'b']
+
+
+def make_scores(arr):
+    arr = np.asarray(arr, dtype=float)
+    t = arr.shape[0]
+    timestamps = np.arange(t + 1) * 1.0
+    return create_score_dataframe(arr, timestamps, CLASSES)
+
+
+def test_score_dataframe_roundtrip(tmp_path):
+    df = make_scores([[0.1, 0.9], [0.8, 0.2]])
+    ts, classes = validate_score_dataframe(df)
+    assert classes == CLASSES
+    np.testing.assert_allclose(ts, [0., 1., 2.])
+    write_sed_scores(df, tmp_path / 'scores' / 'clip1.tsv')
+    loader = lazy_sed_scores_loader(tmp_path / 'scores')
+    assert 'clip1' in loader
+    df2 = loader['clip1']
+    np.testing.assert_allclose(df2['a'], df['a'])
+
+
+def test_event_list_extraction():
+    arr = np.array([[0., 0.], [0.8, 0.], [0.9, 0.], [0., 0.], [0.7, 0.6]])
+    ts = np.arange(6) * 0.5
+    events = event_list_from_score_array(arr, ts, CLASSES, 0.5)
+    assert (0.5, 1.5, 'a') in events
+    assert (2.0, 2.5, 'a') in events
+    assert (2.0, 2.5, 'b') in events
+    # per-class thresholds
+    events2 = event_list_from_score_array(arr, ts, CLASSES, [0.5, 0.65])
+    assert (2.0, 2.5, 'b') not in events2
+
+
+def test_detection_tsv(tmp_path):
+    scores = {'clip1': make_scores([[0.9, 0.], [0., 0.]])}
+    write_detection(scores, 0.5, tmp_path / 'det.tsv')
+    gt = read_ground_truth_events(tmp_path / 'det.tsv')
+    assert gt == {'clip1': [(0., 1., 'a')]}
+
+
+def test_clip_based():
+    scores = {
+        'c1': make_scores([[0.9, 0.1], [0.8, 0.2]]),   # tags: a
+        'c2': make_scores([[0.2, 0.7], [0.1, 0.9]]),   # tags: b
+        'c3': make_scores([[0.6, 0.6], [0.3, 0.2]]),   # tags: a+b-ish
+    }
+    gt = {'c1': ['a'], 'c2': ['b'], 'c3': ['a', 'b']}
+    f, p, r, thr, stats = clip_based.best_fscore(scores, gt)
+    assert f['a'] == 1. and f['b'] == 1.
+    assert f['macro_average'] == 1.
+    # decisions at the returned thresholds reproduce the fscore
+    f2, p2, r2, _ = clip_based.fscore(scores, gt, thr)
+    assert f2['macro_average'] == 1.
+    # events-format ground truth also works
+    gt_events = {'c1': [(0., 2., 'a')], 'c2': [(0., 2., 'b')],
+                 'c3': [(0., 1., 'a'), (0., 1., 'b')]}
+    f3, *_ = clip_based.best_fscore(scores, gt_events)
+    assert f3['macro_average'] == 1.
+
+
+def test_collar_based_exact_match():
+    # detection a: [1, 3); gt a: [1, 3) -> perfect
+    arr = np.zeros((5, 2))
+    arr[1:3, 0] = 0.9
+    scores = {'c1': make_scores(arr)}
+    gt = {'c1': [(1., 3., 'a')]}
+    f, p, r, stats = collar_based.fscore(
+        scores, gt, 0.5, onset_collar=.2, offset_collar=.2,
+        offset_collar_rate=.2)
+    assert f['a'] == 1.
+    assert stats['a']['tps'] == 1
+    # shifted beyond collar -> miss
+    gt_far = {'c1': [(2.5, 4.5, 'a')]}
+    f2, *_ = collar_based.fscore(
+        scores, gt_far, 0.5, onset_collar=.2, offset_collar=.2,
+        offset_collar_rate=.2)
+    assert f2['a'] == 0.
+
+
+def test_collar_best_fscore_and_bias():
+    arr = np.zeros((10, 2))
+    arr[2:5, 0] = 0.6   # event a: [2, 5)
+    arr[6:8, 1] = 0.4   # event b: [6, 8)
+    scores = {'c1': make_scores(arr)}
+    gt = {'c1': [(2., 5., 'a'), (6., 8., 'b')]}
+    f, p, r, thr, stats = collar_based.best_fscore(
+        scores, gt, onset_collar=.3, offset_collar=.3,
+        offset_collar_rate=.3)
+    assert f['a'] == 1. and f['b'] == 1.
+    assert thr['a'] < 0.6 and thr['b'] < 0.4
+    # bias stats via fscore with distance sums
+    f2, p2, r2, stats2 = collar_based.fscore(
+        scores, gt, thr, onset_collar=.3, offset_collar=.3,
+        offset_collar_rate=.3, return_onset_offset_dist_sum=True)
+    assert stats2['a']['onset_dist_sum'] == pytest.approx(0.)
+
+
+def test_staircase_auc():
+    # y = 1 for x >= 0 -> auc over [0, 10] = 10
+    assert staircase_auc([1., 1.], [0., 5.], 10.) == pytest.approx(10.)
+    # step at x=5 from 0 to 1 -> auc = 5
+    assert staircase_auc([0., 1.], [0., 5.], 10.) == pytest.approx(5.)
+    # points beyond max_x are clipped
+    assert staircase_auc([0., 1., 2.], [0., 5., 50.], 10.) == \
+        pytest.approx(5.)
+
+
+def test_psds_perfect_and_noisy():
+    # perfect detector: detections == gt
+    t = 10
+    arr1 = np.zeros((t, 2))
+    arr1[2:5, 0] = 0.9
+    arr1[6:9, 1] = 0.9
+    scores = {'c1': make_scores(arr1)}
+    gt = {'c1': [(2., 5., 'a'), (6., 9., 'b')]}
+    durations = {'c1': float(t)}
+    value, (grid, etpr), rocs = intersection_based.psds(
+        scores, gt, durations, dtc_threshold=.7, gtc_threshold=.7,
+        alpha_ct=0., alpha_st=0., max_efpr=100.)
+    assert value == pytest.approx(1.0)
+    assert set(rocs) == {'a', 'b'}
+    tpr_a, efpr_a, thr_a = rocs['a']
+    assert tpr_a.max() == 1.
+
+    # detector with a false positive far from any gt
+    arr2 = arr1.copy()
+    arr2[0:1, 1] = 0.9  # spurious b detection
+    scores2 = {'c1': make_scores(arr2)}
+    value2, _, rocs2 = intersection_based.psds(
+        scores2, gt, durations, dtc_threshold=.7, gtc_threshold=.7,
+        alpha_ct=0., alpha_st=0., max_efpr=100.)
+    assert value2 < value
+    # approximate variant agrees on the perfect detector
+    approx = intersection_based.approximate_psds(
+        scores, gt, durations, dtc_threshold=.7, gtc_threshold=.7)
+    assert approx == pytest.approx(1.0)
+
+
+def test_psds_cross_trigger_penalty():
+    t = 10
+    arr = np.zeros((t, 2))
+    arr[2:5, 0] = 0.9
+    arr[2:5, 1] = 0.9  # b fires exactly on a's event -> cross trigger
+    scores = {'c1': make_scores(arr)}
+    gt = {'c1': [(2., 5., 'a')], }
+    durations = {'c1': float(t)}
+    v_no_ct, *_ = intersection_based.psds(
+        scores, gt, durations, dtc_threshold=.1, gtc_threshold=.1,
+        cttc_threshold=.3, alpha_ct=0., alpha_st=0.)
+    v_ct, *_ = intersection_based.psds(
+        scores, gt, durations, dtc_threshold=.1, gtc_threshold=.1,
+        cttc_threshold=.3, alpha_ct=1., alpha_st=0.)
+    assert v_ct <= v_no_ct
