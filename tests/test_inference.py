@@ -1,0 +1,146 @@
+"""Integration tests: ensemble inference engine -> score dataframes ->
+tuning leaderboards -> pseudo-labeling (the reference's L5/L6 stack) on the
+synthetic database with tiny models."""
+import numpy as np
+import pytest
+
+from pb_sed_tpu.models import base, weak_label
+from pb_sed_tpu.models.base import pseudo_label as run_pseudo_label
+from pb_sed_tpu.ops.stft import STFT
+
+from tests.test_trainer import make_model, make_provider
+from tests.util_synth import EVENT_CLASSES, build_database, \
+    ground_truth_events
+
+SR = 16000
+GEOM = STFT(shift=160, window_length=480, size=512)
+
+
+@pytest.fixture(scope='module')
+def setup(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp('inference')
+    provider = make_provider(tmp_path / 'db', batch_size=4)
+    models = []
+    for seed in range(2):
+        model = make_model()
+        batch = next(iter(provider.get_validate_set()))
+        model.init_variables(batch, seed=seed)
+        models.append(model)
+    import json
+    db = json.load(open(tmp_path / 'db' / 'db.json'))
+    return provider, models, db, tmp_path
+
+
+def timestamps_for(max_frames=200):
+    return GEOM.frame_timestamps(max_frames, SR)
+
+
+def test_ensemble_tagging_and_tuning(setup):
+    provider, models, db, tmp_path = setup
+    dataset = provider.get_validate_set()
+    scores = base.tagging(
+        models, dataset, timestamps=timestamps_for(),
+        event_classes=EVENT_CLASSES)
+    assert set(scores) == set(db['datasets']['validation'])
+    df = scores[sorted(scores)[0]]
+    assert list(df.columns) == ['onset', 'offset', *EVENT_CLASSES]
+    assert len(df) == 1  # clip-level score
+    gt_tags = {cid: ex['events']
+               for cid, ex in db['datasets']['validation'].items()}
+    leaderboard = base.tune_tagging(
+        scores, medfilt_length_candidates=[1],
+        metrics={'f': lambda s: base.f_tag(s, ground_truth=gt_tags,
+                                           num_jobs=1)},
+        storage_dir=tmp_path)
+    values, hyper_params, _ = leaderboard['f']
+    assert 'macro_average' in values
+    assert all('threshold' in hyper_params[c] for c in EVENT_CLASSES)
+    assert (tmp_path / 'tagging_hyper_params_f.json').exists()
+
+
+def test_ensemble_sed_and_boundaries(setup):
+    provider, models, db, tmp_path = setup
+    dataset = provider.get_validate_set()
+    gt = ground_truth_events(db, 'validation')
+    # detection with per-model window length kwargs
+    scores = base.sound_event_detection(
+        models, dataset, model_kwargs={'window_length': 5},
+        timestamps=timestamps_for(), event_classes=EVENT_CLASSES)
+    df = scores[sorted(scores)[0]]
+    assert len(df) > 1
+    tags = {cid: np.ones(len(EVENT_CLASSES)) for cid in scores}
+    leaderboard = base.tune_sound_event_detection(
+        scores, [1, 3], tags,
+        metrics={'f': lambda s: base.f_collar(
+            s, ground_truth=gt, onset_collar=.3, offset_collar=.3,
+            offset_collar_rate=.3)},
+        tag_masking='?', storage_dir=tmp_path)
+    assert (tmp_path / 'sed_hyper_params_f.json').exists()
+    values, hyper_params, _ = leaderboard['f']
+    assert all('medfilt_length' in hyper_params[c]
+               for c in EVENT_CLASSES)
+    # boundaries detection with stepfilt
+    bscores = base.boundaries_detection(
+        models, dataset, stepfilt_length=4,
+        timestamps=timestamps_for(), event_classes=EVENT_CLASSES)
+    bdf = bscores[sorted(bscores)[0]]
+    assert len(bdf) > 1
+    blb = base.tune_boundaries_detection(
+        bscores, [1], [0, 4], tags,
+        metrics={'f': lambda s: base.f_collar(
+            s, ground_truth=base.boundaries_from_events(gt),
+            onset_collar=.5, offset_collar=.5, offset_collar_rate=.0,
+            return_onset_offset_bias=True)},
+        tag_masking=True, storage_dir=tmp_path)
+    values, hyper_params, _ = blb['f']
+    assert all('onset_bias' in hyper_params[c] for c in EVENT_CLASSES)
+
+
+def test_segmented_inference_merges(setup):
+    provider, models, db, tmp_path = setup
+    dataset = provider.get_validate_set()
+    full = base.sound_event_detection(
+        models, dataset, timestamps=timestamps_for(),
+        event_classes=EVENT_CLASSES, model_kwargs={'window_length': 5})
+    seg = base.sound_event_detection(
+        models, dataset, model_kwargs={'window_length': 5},
+        max_segment_length=32, segment_overlap=8,
+        merge_score_segments=True, timestamps=timestamps_for(),
+        event_classes=EVENT_CLASSES)
+    assert set(seg) == set(full)
+    for cid in full:
+        assert len(seg[cid]) == len(full[cid]), cid
+
+
+def test_score_storage(setup, tmp_path):
+    provider, models, db, _ = setup
+    dataset = provider.get_validate_set()
+    stored = base.sound_event_detection(
+        models, dataset, timestamps=timestamps_for(),
+        event_classes=EVENT_CLASSES, model_kwargs={'window_length': 5},
+        score_storage_dir=tmp_path / 'scores')
+    cid = sorted(stored.keys())[0]
+    df = stored[cid]
+    assert (tmp_path / 'scores' / f'{cid}.tsv').exists()
+    assert list(df.columns) == ['onset', 'offset', *EVENT_CLASSES]
+
+
+def test_pseudo_label(setup):
+    provider, models, db, tmp_path = setup
+    dataset_dict = {
+        cid: dict(ex) for cid, ex in
+        db['datasets']['train_unlabel_in_domain'].items()}
+    tags = {cid: np.array([1., 0., 1.]) for cid in dataset_dict}
+    events = {cid: [(0.1, 0.3, 'beep')] for cid in dataset_dict}
+    out = run_pseudo_label(
+        dataset_dict, EVENT_CLASSES,
+        pseudo_tags=True, pseudo_boundaries=False, pseudo_events=True,
+        tags=tags, boundaries=None, events=events)
+    ex = out[sorted(out)[0]]
+    assert 'beep' in ex['events'] and 'hum' in ex['events']
+    # beep has a detection -> strong span; hum falls back to full clip
+    i_beep = ex['events'].index('beep')
+    i_hum = ex['events'].index('hum')
+    assert ex['label_types'][i_beep] == 'strong'
+    assert ex['label_types'][i_hum] == 'weak'
+    assert ex['events_stop_times'][i_hum] == ex['audio_length']
