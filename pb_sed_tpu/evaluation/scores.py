@@ -161,10 +161,23 @@ def read_ground_truth_events(filepath):
 
 
 def read_ground_truth_tags(filepath):
-    """TSV -> ({clip_id: [labels]}, {label: clip count})."""
-    events = read_ground_truth_events(filepath)
-    tags = {cid: sorted({lb for *_, lb in evs})
-            for cid, evs in events.items()}
+    """TSV -> ({clip_id: [labels]}, {label: clip count}).
+
+    Supports both the events format (``filename onset offset event_label``)
+    and the DESED weak format (``filename event_labels`` with
+    comma-separated labels)."""
+    df = pd.read_csv(filepath, sep='\t')
+    if 'event_labels' in df.columns:
+        tags = {}
+        for _, row in df.iterrows():
+            clip_id = str(row['filename']).rsplit('.', 1)[0]
+            labels = row['event_labels']
+            tags[clip_id] = (sorted(str(labels).split(','))
+                             if isinstance(labels, str) else [])
+    else:
+        events = read_ground_truth_events(filepath)
+        tags = {cid: sorted({lb for *_, lb in evs})
+                for cid, evs in events.items()}
     counts = {}
     for labels in tags.values():
         for lb in labels:

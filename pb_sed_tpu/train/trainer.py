@@ -310,23 +310,32 @@ class Trainer(Configurable):
     # summaries
     # ------------------------------------------------------------------
     def _accumulate_summary(self, loss, scalars, buffers, images):
+        # keep everything as device arrays: converting here would force a
+        # host sync every step and stall the async dispatch pipeline
         s = self._summary
-        s['scalars'].setdefault('loss', []).append(float(loss))
+        s['scalars'].setdefault('loss', []).append(loss)
         for key, value in scalars.items():
-            s['scalars'].setdefault(key, []).append(float(np.asarray(value)))
-        review = None
-        if hasattr(self.model, 'review_from_aux'):
-            review = self.model.review_from_aux(
-                loss, (None, {}, buffers, {}))
-        if review:
-            for key, value in review['buffers'].items():
-                s['buffers'].setdefault(key, []).append(value)
-        s['images'] = {k: np.asarray(v) for k, v in images.items()}
+            s['scalars'].setdefault(key, []).append(value)
+        s.setdefault('_raw', []).append(buffers)
+        s['images'] = images
 
     def _flush_summary(self, prefix):
         if not self._summary['scalars']:
             return
-        summary = self.model.modify_summary(self._summary)
+        s = self._summary
+        # device -> host conversion happens only here (once per trigger)
+        s['scalars'] = {
+            key: [float(np.asarray(v)) for v in values]
+            for key, values in s['scalars'].items()
+        }
+        for buffers in s.pop('_raw', []):
+            if hasattr(self.model, 'review_from_aux'):
+                review = self.model.review_from_aux(
+                    s['scalars']['loss'][0], (None, {}, buffers, {}))
+                for key, value in review['buffers'].items():
+                    s['buffers'].setdefault(key, []).append(value)
+        s['images'] = {k: np.asarray(v) for k, v in s['images'].items()}
+        summary = self.model.modify_summary(s)
         self._write_summary(summary, prefix=prefix)
         self._summary = _empty_summary()
 
