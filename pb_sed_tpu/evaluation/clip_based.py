@@ -15,6 +15,10 @@ from pb_sed_tpu.evaluation.scores import validate_score_dataframe
 
 def _clip_scores_and_targets(scores, ground_truth, event_classes=None):
     """Returns (clip_ids, (N, K) scores, (N, K) targets, classes)."""
+    from pathlib import Path
+    if isinstance(ground_truth, (str, Path)):
+        from pb_sed_tpu.evaluation.scores import read_ground_truth_tags
+        ground_truth = read_ground_truth_tags(ground_truth)[0]
     clip_ids = sorted(scores.keys())
     classes = None
     score_rows = []

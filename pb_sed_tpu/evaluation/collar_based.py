@@ -46,6 +46,14 @@ def _match_events(detections, references, onset_collar, offset_collar,
     return tps, onset_dist, offset_dist, matched
 
 
+def _resolve_ground_truth(ground_truth):
+    from pathlib import Path
+    if isinstance(ground_truth, (str, Path)):
+        from pb_sed_tpu.evaluation.scores import read_ground_truth_events
+        return read_ground_truth_events(ground_truth)
+    return ground_truth
+
+
 def _counts_at_threshold(scores, ground_truth, threshold, classes,
                          onset_collar, offset_collar, offset_collar_rate):
     stats = {c: {'tps': 0, 'fps': 0, 'n_ref': 0,
@@ -98,6 +106,7 @@ def fscore(scores, ground_truth, threshold, *, onset_collar=.2,
            offset_collar=.2, offset_collar_rate=.2, beta=1.,
            return_onset_offset_dist_sum=False, num_jobs=1):
     del num_jobs
+    ground_truth = _resolve_ground_truth(ground_truth)
     classes = None
     for clip_id in scores:
         _, classes = validate_score_dataframe(scores[clip_id], classes)
@@ -137,6 +146,7 @@ def best_fscore(scores, ground_truth, *, onset_collar=.2, offset_collar=.2,
                 offset_collar_rate=.2, beta=1., min_precision=0.,
                 min_recall=0., max_thresholds=50, num_jobs=1):
     del num_jobs
+    ground_truth = _resolve_ground_truth(ground_truth)
     classes = None
     for clip_id in scores:
         _, classes = validate_score_dataframe(scores[clip_id], classes)

@@ -133,6 +133,13 @@ def psds(scores, ground_truth, audio_durations, *, dtc_threshold,
     ``classwise_rocs``: {class: (tpr, efpr, thresholds)}.
     """
     del num_jobs
+    from pathlib import Path
+    if isinstance(ground_truth, (str, Path)):
+        from pb_sed_tpu.evaluation.scores import read_ground_truth_events
+        ground_truth = read_ground_truth_events(ground_truth)
+    if isinstance(audio_durations, (str, Path)):
+        from pb_sed_tpu.evaluation.scores import read_audio_durations
+        audio_durations = read_audio_durations(audio_durations)
     if thresholds is None:
         thresholds = DEFAULT_THRESHOLDS
     thresholds = np.asarray(thresholds, dtype=float)
@@ -199,13 +206,15 @@ def approximate_psds(scores, ground_truth, audio_durations, *,
                      cttc_threshold=None, alpha_ct=0., alpha_st=0.,
                      unit_of_time='hour', max_efpr=100., num_jobs=1):
     """The psds_eval-compatible 50-threshold approximation
-    (reference cross-check path, ``inference.py:326-355``)."""
+    (reference cross-check path, ``inference.py:326-355``).
+
+    Returns (psds_value, (efpr_grid, etpr), classwise_rocs) like
+    :func:`psds`."""
     if thresholds is None:
         thresholds = DEFAULT_THRESHOLDS
-    value, _, _ = psds(
+    return psds(
         scores, ground_truth, audio_durations,
         dtc_threshold=dtc_threshold, gtc_threshold=gtc_threshold,
         cttc_threshold=cttc_threshold, alpha_ct=alpha_ct,
         alpha_st=alpha_st, unit_of_time=unit_of_time, max_efpr=max_efpr,
         thresholds=thresholds, num_jobs=num_jobs)
-    return value

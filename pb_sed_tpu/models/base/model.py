@@ -143,6 +143,26 @@ class SoundEventModel(Configurable):
             assert own == new, (own - new, new - own)
         self.variables = jax.tree_util.tree_map(jnp.asarray, nested)
 
+    def load_partial_state_dict(self, flat, verbose=True):
+        """Merge a (possibly partial) flat state dict into the current
+        variables — the transfer-learning surgery path (reference
+        ``training.py:327-342``): keys must exist with matching shapes;
+        non-matching keys are skipped and reported."""
+        assert self.variables is not None, 'initialize variables first'
+        current = self.state_dict()
+        loaded, skipped = [], []
+        for key, value in flat.items():
+            if key in current and np.shape(current[key]) == np.shape(
+                    value):
+                current[key] = np.asarray(value)
+                loaded.append(key)
+            else:
+                skipped.append(key)
+        self.load_state_dict(current)
+        if verbose:
+            print(f'Loaded {len(loaded)} tensors, skipped {len(skipped)}')
+        return loaded, skipped
+
     def save_checkpoint(self, path, extra=None):
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)

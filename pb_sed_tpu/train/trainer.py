@@ -101,13 +101,21 @@ class Trainer(Configurable):
             'validations_since_best': 0,
         }
 
-    def freeze(self, predicate):
+    def freeze(self, predicate, freeze_norm_stats=True):
         """Freeze parameters whose flat path satisfies ``predicate``
         (transfer-learning layer freezing, reference
-        ``training.py:343-350``). Frozen params get zero updates."""
+        ``training.py:343-350``). Frozen params get zero updates; with
+        ``freeze_norm_stats`` the matching batch-norm running stats are
+        restored after each step as well."""
         flat = _flatten_with_paths(self.model.params)
         self._frozen_mask = {
             path: bool(predicate(path)) for path, _ in flat}
+        if freeze_norm_stats and self.model.batch_stats:
+            stats = _flatten_with_paths(self.model.batch_stats)
+            self._frozen_stats_mask = {
+                path: bool(predicate(path)) for path, _ in stats}
+        else:
+            self._frozen_stats_mask = None
         self._step_fn = None  # rebuild with the mask baked in
 
     # ------------------------------------------------------------------
@@ -126,6 +134,7 @@ class Trainer(Configurable):
         model = self.model
         tx = self._tx
         frozen = self._frozen_mask
+        frozen_stats = getattr(self, '_frozen_stats_mask', None)
 
         def train_step(variables, opt_state, batch, rng, lr):
             rngs = {'augment': jax.random.fold_in(rng, 0),
@@ -149,7 +158,12 @@ class Trainer(Configurable):
             new_vars = dict(variables)
             new_vars['params'] = params
             if 'batch_stats' in mutated:
-                new_vars['batch_stats'] = mutated['batch_stats']
+                new_bs = mutated['batch_stats']
+                if frozen_stats is not None:
+                    new_bs = _restore_frozen(
+                        new_bs, variables.get('batch_stats', {}),
+                        frozen_stats)
+                new_vars['batch_stats'] = new_bs
             scalars = dict(scalars)
             scalars['grad_norm'] = grad_norm
             scalars['lr'] = lr
@@ -465,6 +479,17 @@ def _flatten_with_paths(tree, prefix=''):
     else:
         out.append((prefix, tree))
     return out
+
+
+def _restore_frozen(new_tree, old_tree, frozen_mask):
+    def restore(path, new, old):
+        if isinstance(new, dict):
+            return {k: restore(f'{path}.{k}' if path else k,
+                               v, old.get(k, v) if isinstance(old, dict)
+                               else v)
+                    for k, v in new.items()}
+        return old if frozen_mask.get(path) else new
+    return restore('', new_tree, old_tree)
 
 
 def _mask_frozen(updates, frozen_mask):

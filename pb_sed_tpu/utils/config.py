@@ -57,7 +57,11 @@ def _signature_defaults(factory):
             for field in dataclasses.fields(factory):
                 if not field.init:
                     continue
+                if field.name in ('parent', 'name', 'rngs'):
+                    continue  # flax module plumbing fields
                 if field.default is not dataclasses.MISSING:
+                    if type(field.default).__name__ == '_Sentinel':
+                        continue
                     defaults[field.name] = field.default
                 elif field.default_factory is not dataclasses.MISSING:
                     defaults[field.name] = field.default_factory()

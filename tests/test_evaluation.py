@@ -145,7 +145,7 @@ def test_psds_perfect_and_noisy():
         alpha_ct=0., alpha_st=0., max_efpr=100.)
     assert value2 < value
     # approximate variant agrees on the perfect detector
-    approx = intersection_based.approximate_psds(
+    approx, _, _ = intersection_based.approximate_psds(
         scores, gt, durations, dtc_threshold=.7, gtc_threshold=.7)
     assert approx == pytest.approx(1.0)
 

@@ -1,0 +1,225 @@
+"""End-to-end experiment chain test: weak_label_crnn training ->
+(auto-chained) tuning -> (auto-chained) inference/evaluation on the
+synthetic database — the reference's L7 surface (SURVEY.md §3.5 step 1-3)
+with tiny models and debug grids."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.util_synth import build_database
+
+
+@pytest.mark.slow
+def test_weak_label_chain(tmp_path):
+    db, json_path = build_database(tmp_path / 'db', num_train=8,
+                                   num_weak=6, num_validate=4)
+    storage_root = tmp_path / 'exp'
+    ts = '2026-01-01-00-00-00-00'
+    training_dir = storage_root / 'training' / ts / ts
+
+    from pb_sed_tpu.experiments.weak_label_crnn.training import ex
+    config_updates = {
+        'timestamp': ts,
+        'group_name': ts,
+        'storage_dir': str(training_dir),
+        'debug': True,
+        'batch_size': 4,
+        'data_provider': {
+            'json_path': str(json_path),
+            'train_set': {
+                'train_weak': 1, 'train_strong': 1,
+                'train_synthetic20': 0, 'train_synthetic21': 0,
+                'train_unlabel_in_domain': 0,
+            },
+            'cached_datasets': None,
+            'min_audio_length': 0.2,
+            'train_fetcher': {
+                'batch_size': 4,
+                'prefetch_workers': 0,
+                'pad_to_multiple': 16,
+                'min_label_diversity_in_batch': 0,
+                'min_dataset_examples_in_batch': None,
+            },
+            'test_fetcher': {
+                'batch_size': 4,
+                'prefetch_workers': 0,
+                'pad_to_multiple': 16,
+            },
+            'train_transform': {
+                'stft': {'shift': 160, 'window_length': 480, 'size': 512},
+                'anchor_sampling_fn': None,
+                'anchor_shift_sampling_fn': None,
+            },
+            'mix_interval': None,
+        },
+        'num_iterations': 6,
+        'checkpoint_interval': 3,
+        'summary_interval': 2,
+        'lr_rampup_steps': 2,
+        'lr_decay_steps': [],
+        'trainer': {
+            'model': {
+                'feature_extractor': {
+                    'stft_size': 512, 'stft_shift': 160,
+                    'stft_window_length': 480,
+                    'number_of_filters': 16,
+                    'n_time_masks': 1, 'n_frequency_masks': 1,
+                    'max_noise_scale': .1,
+                },
+                'cnn': {
+                    'cnn_2d': {'out_channels': [4, 4],
+                               'pool_size': [[2, 1], [2, 1]],
+                               'kernel_size': 3},
+                    'cnn_1d': {'out_channels': [8, 8], 'kernel_size': 3},
+                },
+                'rnn_fwd': {
+                    'rnn': {'hidden_size': 8, 'num_layers': 1},
+                    'output_net': {'out_channels': [8, 3],
+                                   'kernel_size': 1},
+                },
+            },
+        },
+        'hyper_params_tuning_batch_size': 4,
+    }
+    # tuning/inference derive their own storage dirs from storage_root;
+    # patch it for the nested experiments
+    import pb_sed_tpu.experiments.weak_label_crnn.tuning as tuning_mod
+    import pb_sed_tpu.experiments.weak_label_crnn.inference as inf_mod
+    tuning_mod.storage_root = storage_root
+    inf_mod.storage_root = storage_root
+
+    result_dir = ex.run(config_updates=config_updates)
+
+    # training artifacts
+    assert (training_dir / '1' / 'config.json').exists()
+    assert (training_dir / 'checkpoints'
+            / 'ckpt_best_macro_fscore_weak.pkl').exists()
+    assert (training_dir / 'summary.jsonl').exists()
+    # label encoder persisted
+    assert (training_dir / 'events.json').exists()
+
+    # tuning artifacts (chained automatically)
+    hp_dirs = list((storage_root / 'weak_label_crnn' / 'desed'
+                    / 'hyper_params').glob('*'))
+    assert hp_dirs, 'tuning did not run'
+    hp_dir = hp_dirs[0]
+    for name in ['tagging_hyper_params_f.json',
+                 'boundaries_detection_hyper_params_f.json',
+                 'sed_hyper_params_f.json',
+                 'sed_hyper_params_psds1.json',
+                 'sed_hyper_params_psds2.json']:
+        assert (hp_dir / name).exists(), name
+    hp = json.loads((hp_dir / 'sed_hyper_params_f.json').read_text())
+    for event_class in ['beep', 'chirp', 'hum']:
+        assert 'window_length' in hp[event_class]
+        assert 'medfilt_length' in hp[event_class]
+        assert 'threshold' in hp[event_class]
+    # hyper_params symlinked into the model dir
+    assert (training_dir / 'hyper_params' / hp_dir.name).exists()
+
+    # inference/evaluation artifacts (chained from tuning)
+    inf_dirs = list((storage_root / 'weak_label_crnn' / 'desed'
+                     / 'inference').glob('*'))
+    assert inf_dirs, 'inference did not run'
+    results = [p for d in inf_dirs for p in d.glob('*_results_*.json')]
+    assert results, 'no evaluation results written'
+    sed_results = [p for p in results if p.name.startswith('sed_')]
+    assert sed_results
+    content = json.loads(sed_results[0].read_text())
+    assert 'psds[0]' in content
+    assert 'macro_average_f' in content
+
+
+@pytest.mark.slow
+def test_weak_inference_pseudo_labeling(tmp_path):
+    """Pseudo-labeling round: inference rewrites the database json."""
+    db, json_path = build_database(tmp_path / 'db', num_train=6,
+                                   num_weak=4, num_validate=3)
+    storage_root = tmp_path / 'exp'
+    ts = '2026-01-01-11-11-11-00'
+    training_dir = storage_root / 'training' / ts / ts
+
+    from pb_sed_tpu.experiments.weak_label_crnn.training import (
+        ex as train_ex)
+    import pb_sed_tpu.experiments.weak_label_crnn.tuning as tuning_mod
+    import pb_sed_tpu.experiments.weak_label_crnn.inference as inf_mod
+    tuning_mod.storage_root = storage_root
+    inf_mod.storage_root = storage_root
+
+    common_provider = {
+        'json_path': str(json_path),
+        'train_set': {
+            'train_weak': 1, 'train_strong': 1,
+            'train_synthetic20': 0, 'train_synthetic21': 0,
+            'train_unlabel_in_domain': 0,
+        },
+        'cached_datasets': None,
+        'min_audio_length': 0.2,
+        'train_fetcher': {
+            'batch_size': 4, 'prefetch_workers': 0,
+            'pad_to_multiple': 16,
+            'min_label_diversity_in_batch': 0,
+            'min_dataset_examples_in_batch': None,
+        },
+        'test_fetcher': {'batch_size': 4, 'prefetch_workers': 0,
+                         'pad_to_multiple': 16},
+        'train_transform': {
+            'stft': {'shift': 160, 'window_length': 480, 'size': 512},
+            'anchor_sampling_fn': None,
+            'anchor_shift_sampling_fn': None,
+        },
+        'mix_interval': None,
+    }
+    train_ex.run(config_updates={
+        'timestamp': ts, 'group_name': ts,
+        'storage_dir': str(training_dir),
+        'debug': True, 'batch_size': 4,
+        'data_provider': dict(common_provider),
+        'num_iterations': 4, 'checkpoint_interval': 2,
+        'summary_interval': 2, 'lr_rampup_steps': None,
+        'lr_decay_steps': [],
+        'validation_set_name': None,  # do not chain tuning
+        'trainer': {
+            'model': {
+                'feature_extractor': {
+                    'stft_size': 512, 'stft_shift': 160,
+                    'stft_window_length': 480, 'number_of_filters': 16},
+                'cnn': {
+                    'cnn_2d': {'out_channels': [4, 4],
+                               'pool_size': [[2, 1], [2, 1]],
+                               'kernel_size': 3},
+                    'cnn_1d': {'out_channels': [8, 8],
+                               'kernel_size': 3}},
+                'rnn_fwd': {
+                    'rnn': {'hidden_size': 8, 'num_layers': 1},
+                    'output_net': {'out_channels': [8, 3],
+                                   'kernel_size': 1}}},
+        },
+    })
+    # run tuning manually (no chain), then inference with pseudo labeling
+    hp_dir = tuning_mod.ex.run(config_updates={
+        'debug': True,
+        'crnn_dirs': [str(training_dir)],
+        'storage_dir': str(storage_root / 'hp'),
+        'eval_set_name': None,  # do not chain evaluation
+    })
+    out_dir = inf_mod.ex.run(config_updates={
+        'debug': True,
+        'hyper_params_dir': str(hp_dir),
+        'storage_dir': str(storage_root / 'inf'),
+        'dataset_name': ['train_unlabel_in_domain'],
+        'weak_pseudo_labeling': [True],
+        'strong_pseudo_labeling': [True],
+        'pseudo_labeled_dataset_name': ['train_unlabel_in_domain'],
+    })
+    out_json = Path(out_dir) / Path(json_path).name
+    assert out_json.exists(), 'pseudo-labeled database json not written'
+    new_db = json.loads(out_json.read_text())
+    ds = new_db['datasets']['train_unlabel_in_domain']
+    labeled = [ex_ for ex_ in ds.values() if ex_.get('events')]
+    # pseudo labels attached with onset/offset times
+    for ex_ in labeled:
+        assert 'events_start_times' in ex_
+        assert len(ex_['label_types']) == len(ex_['events'])
