@@ -123,7 +123,15 @@ class Transform(Configurable):
             out['warp_anchor_in'] = np.float32(warp[1])
 
         if self.provide_boundary_targets or self.provide_strong_targets:
-            overall = enc.encode_multi_hot(example['events'])  # (K,)
+            # frame alignment of ALL events (weak events span the whole
+            # clip via add_label_types): the 0.5 fill only marks frames
+            # where an event of that class MIGHT be; frames outside any
+            # occurrence stay certain negatives
+            overall = enc.encode_alignment(
+                [(int(start_frames[i]), int(stop_frames[i]),
+                  enc.encode(label))
+                 for i, label in enumerate(example['events'])],
+                seq_len)  # (T, K)
             if self.provide_boundary_targets:
                 spans = {}
                 for i, label in enumerate(example['events']):

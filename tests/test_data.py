@@ -122,9 +122,9 @@ def test_transform_targets():
     assert st.shape == (k, t)
     # beep strong spans: frames [2, 6) and [10, 15)
     assert st[0, 3] == 1. and st[0, 12] == 1.
-    # between the two beep events: class present in clip -> soft 0.5
-    # (reference fill: strong += (1-strong)*0.5*overall_targets)
-    assert st[0, 8] == 0.5
+    # between the two beep events: no beep occurrence covers frame 8,
+    # so it is a certain negative (overall alignment fill semantics)
+    assert st[0, 8] == 0.
     # chirp is weak -> 0.5 everywhere (present but not localized)
     assert (ex['strong_targets'][1] == 0.5).all()
     # hum absent -> certain 0

@@ -223,3 +223,139 @@ def test_weak_inference_pseudo_labeling(tmp_path):
     for ex_ in labeled:
         assert 'events_start_times' in ex_
         assert len(ex_['label_types']) == len(ex_['events'])
+
+
+@pytest.mark.slow
+def test_strong_label_chain(tmp_path):
+    """Weak tuning -> strong training -> strong tuning -> strong inference
+    with pseudo-label TSV export (reference SURVEY.md §3.5 steps 5-6)."""
+    db, json_path = build_database(tmp_path / 'db', num_train=8,
+                                   num_weak=6, num_validate=4)
+    storage_root = tmp_path / 'exp'
+    ts_w = '2026-01-02-00-00-00-00'
+    weak_dir = storage_root / 'w' / ts_w / ts_w
+
+    import pb_sed_tpu.experiments.weak_label_crnn.tuning as w_tuning
+    import pb_sed_tpu.experiments.weak_label_crnn.inference as w_inf
+    import pb_sed_tpu.experiments.strong_label_crnn.training as s_train
+    import pb_sed_tpu.experiments.strong_label_crnn.tuning as s_tuning
+    import pb_sed_tpu.experiments.strong_label_crnn.inference as s_inf
+    from pb_sed_tpu.experiments.weak_label_crnn.training import (
+        ex as w_train_ex)
+    for mod in (w_tuning, w_inf, s_train, s_tuning, s_inf):
+        mod.storage_root = storage_root
+
+    provider_updates = {
+        'json_path': str(json_path),
+        'train_set': {
+            'train_weak': 1, 'train_strong': 1,
+            'train_synthetic20': 0, 'train_synthetic21': 0,
+            'train_unlabel_in_domain': 0,
+        },
+        'cached_datasets': None,
+        'min_audio_length': 0.2,
+        'train_fetcher': {
+            'batch_size': 4, 'prefetch_workers': 0, 'pad_to_multiple': 16,
+            'min_label_diversity_in_batch': 0,
+            'min_dataset_examples_in_batch': None,
+        },
+        'test_fetcher': {'batch_size': 4, 'prefetch_workers': 0,
+                         'pad_to_multiple': 16},
+        'train_transform': {
+            'stft': {'shift': 160, 'window_length': 480, 'size': 512},
+            'anchor_sampling_fn': None, 'anchor_shift_sampling_fn': None,
+        },
+        'mix_interval': None,
+    }
+    tiny_fe = {'stft_size': 512, 'stft_shift': 160,
+               'stft_window_length': 480, 'number_of_filters': 16}
+    tiny_cnn = {
+        'cnn_2d': {'out_channels': [4, 4],
+                   'pool_size': [[2, 1], [2, 1]], 'kernel_size': 3},
+        'cnn_1d': {'out_channels': [8, 8], 'kernel_size': 3}}
+
+    # 1. weak training (no chain)
+    w_train_ex.run(config_updates={
+        'timestamp': ts_w, 'group_name': ts_w,
+        'storage_dir': str(weak_dir), 'debug': True, 'batch_size': 4,
+        'data_provider': dict(provider_updates),
+        'num_iterations': 4, 'checkpoint_interval': 2,
+        'summary_interval': 2, 'lr_rampup_steps': None,
+        'lr_decay_steps': [], 'validation_set_name': None,
+        'trainer': {'model': {
+            'feature_extractor': dict(tiny_fe), 'cnn': dict(tiny_cnn),
+            'rnn_fwd': {'rnn': {'hidden_size': 8, 'num_layers': 1},
+                        'output_net': {'out_channels': [8, 3],
+                                       'kernel_size': 1}}}},
+    })
+    # 2. weak tuning (no eval chain)
+    weak_hp_dir = w_tuning.ex.run(config_updates={
+        'debug': True, 'crnn_dirs': [str(weak_dir)],
+        'storage_dir': str(storage_root / 'w_hp'),
+        'eval_set_name': None,
+    })
+    # 3. strong training with tag conditioning (no chain)
+    ts_s = '2026-01-02-11-00-00-00'
+    strong_dir = storage_root / 's' / ts_s / ts_s
+    strong_provider = dict(provider_updates)
+    strong_provider['train_transform'] = {
+        **provider_updates['train_transform'],
+        'provide_strong_targets': True,
+        'provide_boundary_targets': False,
+    }
+    s_train.ex.run(config_updates={
+        'timestamp': ts_s, 'group_name': ts_s,
+        'storage_dir': str(strong_dir), 'debug': True, 'batch_size': 4,
+        'data_provider': strong_provider,
+        'num_iterations': 4, 'checkpoint_interval': 2,
+        'summary_interval': 2, 'lr_rampup_steps': None,
+        'lr_decay_steps': [], 'validation_set_name': None,
+        'tag_conditioning': True,
+        'trainer': {'model': {
+            'feature_extractor': dict(tiny_fe), 'cnn': dict(tiny_cnn),
+            'rnn': {'rnn': {'hidden_size': 8, 'num_layers': 1,
+                            'bidirectional': True},
+                    'output_net': {'out_channels': [8, 3],
+                                   'kernel_size': 1}}}},
+    })
+    assert (strong_dir / 'checkpoints'
+            / 'ckpt_best_macro_fscore_strong.pkl').exists() or \
+        (strong_dir / 'checkpoints' / 'ckpt_latest.pkl').exists()
+    # validation was disabled -> best ckpt may be missing; provide it
+    import shutil
+    best = strong_dir / 'checkpoints' / 'ckpt_best_macro_fscore_strong.pkl'
+    if not best.exists():
+        shutil.copyfile(
+            strong_dir / 'checkpoints' / 'ckpt_latest.pkl', best)
+    wbest = weak_dir / 'checkpoints' / 'ckpt_best_macro_fscore_weak.pkl'
+    if not wbest.exists():
+        shutil.copyfile(
+            weak_dir / 'checkpoints' / 'ckpt_latest.pkl', wbest)
+
+    # 4. strong tuning (no eval chain)
+    strong_hp_dir = s_tuning.ex.run(config_updates={
+        'debug': True,
+        'weak_label_crnn_hyper_params_dir': str(weak_hp_dir),
+        'strong_label_crnn_dirs': [str(strong_dir)],
+        'storage_dir': str(storage_root / 's_hp'),
+        'eval_set_name': None,
+    })
+    import json as json_mod
+    hp = json_mod.loads(
+        (Path(strong_hp_dir) / 'sed_hyper_params_f.json').read_text())
+    assert 'medfilt_length' in hp['beep']
+    # 5. strong inference with pseudo labeling + TSV export
+    out_dir = s_inf.ex.run(config_updates={
+        'debug': True,
+        'strong_label_crnn_hyper_params_dir': str(strong_hp_dir),
+        'storage_dir': str(storage_root / 's_inf'),
+        'dataset_name': ['train_weak'],
+        'strong_pseudo_labeling': [True],
+        'pseudo_labeled_dataset_name': ['train_weak'],
+    })
+    out_dir = Path(out_dir)
+    tsv = out_dir / 'train_weak_pseudo_labeled.tsv'
+    assert tsv.exists(), 'pseudo-label TSV not exported'
+    lines = tsv.read_text().strip().split('\n')
+    assert lines[0] == 'filename\tonset\toffset\tevent_label'
+    assert (out_dir / Path(json_path).name).exists()

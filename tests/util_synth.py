@@ -41,9 +41,13 @@ def build_database(root, num_train=12, num_weak=8, num_validate=6,
         length = int(clip_seconds * SR)
         audio = 0.01 * rng.randn(length)
         n_events = rng.randint(1, 3)
+        # distinct classes per clip: repeated classes would leave soft
+        # (0.5) gaps between events and exclude the clip from strong
+        # metric buffers (reference soft-fill semantics)
+        kinds = rng.choice(len(EVENT_CLASSES), n_events, replace=False)
         events, on, off = [], [], []
-        for _ in range(n_events):
-            kind = EVENT_CLASSES[rng.randint(len(EVENT_CLASSES))]
+        for kind_idx in kinds:
+            kind = EVENT_CLASSES[kind_idx]
             ev_len = rng.randint(length // 5, length // 2)
             start = rng.randint(0, length - ev_len)
             audio[start:start + ev_len] += synth_event(kind, ev_len, rng)
