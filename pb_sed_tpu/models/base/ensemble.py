@@ -1,0 +1,140 @@
+"""Stacked ensemble execution.
+
+The reference runs ensemble members sequentially on one device
+(``pb_sed/models/base/inference.py:133-141``). TPU-native redesign: when
+all members share the same architecture, their variables are stacked on a
+leading ensemble axis and the model function is ``vmap``-ed over it — one
+XLA program evaluates the whole ensemble per batch (the MXU sees N-times
+larger batched matmuls instead of N sequential launches). With a
+multi-device mesh the ensemble axis is sharded over the ``ensemble`` mesh
+axis so members evaluate on different chips over ICI.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def same_architecture(models):
+    if len(models) < 2:
+        return True
+    first = models[0].module
+    return all(m.module == first for m in models[1:])
+
+
+class StackedEnsemble:
+    """Drop-in for a list of SoundEventModel with identical architecture.
+
+    Exposes the same inference API; scores are the ensemble mean.
+    """
+
+    def __init__(self, models, mesh=None, ensemble_axis='ensemble'):
+        assert len(models) >= 1
+        assert same_architecture(models), 'architectures differ'
+        self.models = models
+        self.module = models[0].module
+        self.variables = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+            *[m.variables for m in models])
+        self.mesh = mesh
+        self.ensemble_axis = ensemble_axis
+        if mesh is not None and ensemble_axis in mesh.axis_names:
+            sharding = NamedSharding(
+                mesh, P(ensemble_axis))
+            self.variables = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), self.variables)
+        self._jit_cache = {}
+
+    def __len__(self):
+        return len(self.models)
+
+    def _apply(self, batch, method, **kwargs):
+        key = (getattr(method, '__name__', method),
+               tuple(sorted(kwargs.items())))
+        if key not in self._jit_cache:
+            module = self.module
+
+            def one(variables, device_batch):
+                return module.apply(
+                    variables, device_batch, training=False,
+                    method=method, **kwargs)
+
+            fn = jax.vmap(one, in_axes=(0, None))
+
+            def mean_fn(variables, device_batch):
+                y, seq_len = fn(variables, device_batch)
+                return y.mean(0), seq_len[0]
+
+            self._jit_cache[key] = jax.jit(mean_fn)
+        device_batch = {
+            k: jnp.asarray(v) for k, v in batch.items()
+            if isinstance(v, (np.ndarray, jnp.ndarray))
+        }
+        return self._jit_cache[key](self.variables, device_batch)
+
+    # -- inference API -------------------------------------------------
+    def tagging(self, batch, **params):
+        method = type(self.module).tagging
+        y, seq_len = self._apply(batch, method, **params)
+        return np.asarray(y), np.asarray(seq_len)
+
+    def boundaries_detection(self, batch, **params):
+        method = type(self.module).boundaries_detection
+        y, seq_len = self._apply(batch, method, **params)
+        return np.asarray(y), np.asarray(seq_len)
+
+    def sound_event_detection(self, batch, window_length=None,
+                              window_shift=1, **params):
+        module_cls = type(self.module)
+        if hasattr(module_cls, 'sed_windows') and window_length is not None:
+            window_length = np.array(window_length, dtype=int)
+            if window_length.ndim == 0:
+                y, seq_len = self._apply(
+                    batch, module_cls.sed_windows,
+                    window_length=int(window_length),
+                    window_shift=int(window_shift))
+                return np.asarray(y), np.asarray(seq_len)
+            # per-class / per-paramset window lengths: reuse the member
+            # implementation's mask-sum logic over unique lengths
+            uniq = np.unique(window_length.flatten())
+            y_out = None
+            seq_len_y = None
+            for win_len in uniq:
+                yi, seq_len_y = self._apply(
+                    batch, module_cls.sed_windows,
+                    window_length=int(win_len),
+                    window_shift=int(window_shift))
+                yi = np.asarray(yi)
+                b, k, t = yi.shape
+                wl = window_length
+                if wl.ndim == 1:
+                    wl = np.broadcast_to(wl, (k,))
+                    mask = (wl == win_len)[None, :, None]
+                else:
+                    n = wl.shape[0]
+                    wl = np.broadcast_to(wl, (n, k))
+                    yi = yi[:, None]
+                    mask = (wl == win_len)[None, :, :, None]
+                if y_out is None:
+                    shape = (b, *wl.shape, t) if wl.ndim == 2 else (
+                        b, k, t)
+                    y_out = np.zeros(shape, dtype=yi.dtype)
+                y_out = y_out + mask * yi
+            return y_out, np.asarray(seq_len_y)
+        method = module_cls.sound_event_detection
+        y, seq_len = self._apply(batch, method, **params)
+        return np.asarray(y), np.asarray(seq_len)
+
+
+def maybe_stack(models, model_kwargs, mesh=None):
+    """Stack when architectures and per-model kwargs agree."""
+    if len(models) < 2:
+        return models, model_kwargs
+    if isinstance(models[0], StackedEnsemble):
+        return models, model_kwargs
+    if not same_architecture(models):
+        return models, model_kwargs
+    if any(kw != model_kwargs[0] for kw in model_kwargs[1:]):
+        return models, model_kwargs
+    return [StackedEnsemble(models, mesh=mesh)], [model_kwargs[0]]

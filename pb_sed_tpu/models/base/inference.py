@@ -29,7 +29,7 @@ def tagging(models, dataset, max_segment_length=None, segment_overlap=None,
             merge_score_segments=False, score_segment_overlap=None,
             model_kwargs=None, medfilt_length=1, method='tagging',
             timestamps=None, event_classes=None, score_storage_dir=None,
-            device=None):
+            device=None, auto_stack=True):
     return inference(
         models, method, dataset,
         max_segment_length=max_segment_length,
@@ -39,7 +39,7 @@ def tagging(models, dataset, max_segment_length=None, segment_overlap=None,
         model_kwargs=model_kwargs, medfilt_length=medfilt_length,
         post_processing_fn=lambda x: x.max(-2, keepdims=True),
         timestamps=timestamps, event_classes=event_classes,
-        score_storage_dir=score_storage_dir)
+        score_storage_dir=score_storage_dir, auto_stack=auto_stack)
 
 
 def boundaries_detection(models, dataset, max_segment_length=None,
@@ -49,7 +49,7 @@ def boundaries_detection(models, dataset, max_segment_length=None,
                          apply_mask=False, masks=None,
                          method='boundaries_detection', timestamps=None,
                          event_classes=None, score_storage_dir=None,
-                         device=None):
+                         device=None, auto_stack=True):
     return inference(
         models, method, dataset,
         max_segment_length=max_segment_length,
@@ -59,7 +59,7 @@ def boundaries_detection(models, dataset, max_segment_length=None,
         model_kwargs=model_kwargs, medfilt_length=medfilt_length,
         stepfilt_length=stepfilt_length, apply_mask=apply_mask,
         masks=masks, timestamps=timestamps, event_classes=event_classes,
-        score_storage_dir=score_storage_dir)
+        score_storage_dir=score_storage_dir, auto_stack=auto_stack)
 
 
 def sound_event_detection(models, dataset, max_segment_length=None,
@@ -69,7 +69,7 @@ def sound_event_detection(models, dataset, max_segment_length=None,
                           method='sound_event_detection',
                           apply_mask=False, masks=None, timestamps=None,
                           event_classes=None, score_storage_dir=None,
-                          device=None):
+                          device=None, auto_stack=True):
     return inference(
         models, method, dataset,
         max_segment_length=max_segment_length,
@@ -78,7 +78,8 @@ def sound_event_detection(models, dataset, max_segment_length=None,
         score_segment_overlap=score_segment_overlap,
         model_kwargs=model_kwargs, medfilt_length=medfilt_length,
         apply_mask=apply_mask, masks=masks, timestamps=timestamps,
-        event_classes=event_classes, score_storage_dir=score_storage_dir)
+        event_classes=event_classes, score_storage_dir=score_storage_dir,
+        auto_stack=auto_stack)
 
 
 def inference(model, method, dataset, max_segment_length=None,
@@ -86,7 +87,8 @@ def inference(model, method, dataset, max_segment_length=None,
               score_segment_overlap=None, model_kwargs=None,
               medfilt_length=1, stepfilt_length=None, apply_mask=False,
               masks=None, post_processing_fn=None, timestamps=None,
-              event_classes=None, score_storage_dir=None, device=None):
+              event_classes=None, score_storage_dir=None, device=None,
+              auto_stack=True):
     models = model if isinstance(model, (list, tuple)) else [model]
     if model_kwargs is None:
         model_kwargs = {}
@@ -94,6 +96,14 @@ def inference(model, method, dataset, max_segment_length=None,
         model_kwargs = len(models) * [model_kwargs]
     assert len(model_kwargs) == len(models), (
         len(models), len(model_kwargs))
+    if auto_stack and len(models) > 1:
+        # identical architectures: evaluate the whole ensemble in one
+        # vmapped XLA program (see models/base/ensemble.py)
+        from pb_sed_tpu.models.base.ensemble import maybe_stack
+        try:
+            models, model_kwargs = maybe_stack(models, model_kwargs)
+        except Exception as exc:  # stacking is an optimization only
+            print(f'ensemble stacking disabled: {exc}')
     medfilt_length = np.asarray(medfilt_length, dtype=int)
     apply_mask = np.asarray(apply_mask, dtype=bool)
     for m in models:

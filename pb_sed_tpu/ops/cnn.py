@@ -67,6 +67,12 @@ def _act(name):
     return getattr(nn, name)
 
 
+def _dtype(name):
+    if name in (None, 'float32'):
+        return jnp.float32
+    return jnp.dtype(name)
+
+
 def _pool2d(x, pool):
     """Pool with reference notation: pool = (freq, time) or scalar."""
     if isinstance(pool, (tuple, list)):
@@ -95,7 +101,11 @@ def _match_residual(res, x):
 
 
 class CNN2d(nn.Module, Configurable):
-    """Stack of 2-D convolutions over (time, freq)."""
+    """Stack of 2-D convolutions over (time, freq).
+
+    ``compute_dtype='bfloat16'`` runs the convolutions in bf16 on the MXU
+    (params and norm statistics stay float32).
+    """
     out_channels: Sequence[int]
     kernel_size: Union[int, Sequence[int]] = 3
     pool_size: Union[int, Sequence[Any]] = 1
@@ -106,6 +116,7 @@ class CNN2d(nn.Module, Configurable):
     pre_activation: bool = False
     dropout: float = 0.
     output_layer: bool = False
+    compute_dtype: str = 'bfloat16'
     in_channels: int = None      # informational (finalize glue)
     input_height: int = None     # informational
 
@@ -136,7 +147,9 @@ class CNN2d(nn.Module, Configurable):
             k = kernels[i]
             kt, kf = (k, k) if not isinstance(k, (tuple, list)) else k
             h = nn.Conv(self.out_channels[i], kernel_size=(kt, kf),
-                        padding='SAME', name=f'conv_{i}')(h)
+                        padding='SAME', name=f'conv_{i}',
+                        dtype=_dtype(self.compute_dtype))(h)
+            h = h.astype(jnp.float32)
             if not self.pre_activation and not is_output:
                 if self.norm == 'batch':
                     h = MaskedBatchNorm(
@@ -174,6 +187,7 @@ class CNN1d(nn.Module, Configurable):
     pre_activation: bool = False
     dropout: float = 0.
     output_layer: bool = False
+    compute_dtype: str = 'bfloat16'
     in_channels: int = None  # informational
 
     @nn.compact
@@ -201,7 +215,9 @@ class CNN1d(nn.Module, Configurable):
                 if self.dropout > 0 and training:
                     h = nn.Dropout(self.dropout, deterministic=False)(h)
             h = nn.Conv(self.out_channels[i], kernel_size=(kernels[i],),
-                        padding='SAME', name=f'conv_{i}')(h)
+                        padding='SAME', name=f'conv_{i}',
+                        dtype=_dtype(self.compute_dtype))(h)
+            h = h.astype(jnp.float32)
             if not self.pre_activation and not is_output:
                 if self.norm == 'batch':
                     h = MaskedBatchNorm(

@@ -144,3 +144,24 @@ def test_pseudo_label(setup):
     assert ex['label_types'][i_beep] == 'strong'
     assert ex['label_types'][i_hum] == 'weak'
     assert ex['events_stop_times'][i_hum] == ex['audio_length']
+
+
+def test_stacked_ensemble_matches_sequential(setup):
+    provider, models, db, tmp_path = setup
+    dataset = provider.get_validate_set()
+    from pb_sed_tpu.models.base.ensemble import (
+        StackedEnsemble, same_architecture)
+    assert same_architecture(models)
+    seq = base.tagging(models, dataset, auto_stack=False)
+    stacked = base.tagging(models, dataset, auto_stack=True)
+    assert set(seq) == set(stacked)
+    for cid in seq:
+        np.testing.assert_allclose(
+            np.asarray(stacked[cid]), np.asarray(seq[cid]), atol=2e-5)
+    # explicit runner API
+    runner = StackedEnsemble(models)
+    batch = next(iter(dataset))
+    y, seq_len = runner.sound_event_detection(batch, window_length=5)
+    y_seq0, _ = models[0].sound_event_detection(batch, window_length=5)
+    y_seq1, _ = models[1].sound_event_detection(batch, window_length=5)
+    np.testing.assert_allclose(y, (y_seq0 + y_seq1) / 2, atol=2e-5)
