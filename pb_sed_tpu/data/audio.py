@@ -89,26 +89,36 @@ class AudioReader(Configurable):
     normalization_domain: str = 'instance'
     normalization_type: str = 'max'
     alignment_keys: tuple = ('events',)
+    use_native: bool = True  # C++ decode+resample fast path
     storage_dir: str = None  # accepted for config parity, unused
 
     def __call__(self, example):
         """Loads ``example['audio_path']`` -> ``example['audio_data']``
         (1, S) float32 and converts alignment times to samples."""
-        audio, sr = read_wav(example['audio_path'])
-        if self.source_sample_rate is not None:
-            assert sr == self.source_sample_rate, (
-                sr, self.source_sample_rate)
-        if self.average_channels and audio.shape[0] > 1:
-            audio = audio.mean(0, keepdims=True)
-        audio = resample(audio, sr, self.target_sample_rate)
-        if self.normalization_type == 'max':
-            peak = np.abs(audio).max()
-            if peak > 0:
-                audio = audio / peak
-        elif self.normalization_type in (None, 'none'):
-            pass
-        else:
-            raise ValueError(self.normalization_type)
+        audio = None
+        if (self.use_native and self.average_channels
+                and self.source_sample_rate is None
+                and self.normalization_type in ('max', None, 'none')):
+            from pb_sed_tpu.data import native
+            audio = native.load_wav(
+                example['audio_path'], self.target_sample_rate,
+                peak_normalize=self.normalization_type == 'max')
+        if audio is None:
+            audio, sr = read_wav(example['audio_path'])
+            if self.source_sample_rate is not None:
+                assert sr == self.source_sample_rate, (
+                    sr, self.source_sample_rate)
+            if self.average_channels and audio.shape[0] > 1:
+                audio = audio.mean(0, keepdims=True)
+            audio = resample(audio, sr, self.target_sample_rate)
+            if self.normalization_type == 'max':
+                peak = np.abs(audio).max()
+                if peak > 0:
+                    audio = audio / peak
+            elif self.normalization_type in (None, 'none'):
+                pass
+            else:
+                raise ValueError(self.normalization_type)
         example['audio_data'] = audio.astype(np.float32)
         example['seq_len'] = audio.shape[-1]
         for key in self.alignment_keys or ():

@@ -312,3 +312,29 @@ def test_provider_end_to_end(tmp_path):
     validate_set = provider.get_validate_set()
     vb = list(validate_set)
     assert vb and 'warp_anchor_out' not in vb[0]
+
+
+def test_native_audio_loader(tmp_path):
+    from pb_sed_tpu.data import native
+    if not native.available():
+        pytest.skip('native library unavailable (no g++?)')
+    audio = 0.5 * np.sin(2 * np.pi * 440 * np.arange(8000) / SR)
+    write_wav(tmp_path / 'n.wav', audio)
+    out = native.load_wav(tmp_path / 'n.wav', SR, peak_normalize=False)
+    assert out is not None and out.shape == (1, 8000)
+    np.testing.assert_allclose(out[0], audio, atol=2e-3)
+    info = native.wav_info(tmp_path / 'n.wav')
+    assert info == (8000, SR, 1)
+    # resampling path: content preserved at half rate
+    half = native.load_wav(tmp_path / 'n.wav', SR // 2,
+                           peak_normalize=False)
+    assert abs(half.shape[1] - 4000) <= 2
+    # python reference resampler agrees within tolerance (interior)
+    ref = resample(audio[None, :], SR, SR // 2)
+    m = min(half.shape[1], ref.shape[1]) - 50
+    np.testing.assert_allclose(half[0, 50:m], ref[0, 50:m], atol=5e-2)
+    # AudioReader integration (native fast path)
+    reader = AudioReader(target_sample_rate=SR, use_native=True)
+    ex = reader({'audio_path': str(tmp_path / 'n.wav')})
+    assert ex['audio_data'].shape == (1, 8000)
+    assert np.abs(ex['audio_data']).max() == pytest.approx(1., abs=1e-4)
