@@ -104,7 +104,8 @@ class NormalizedLogMelExtractor(nn.Module, Configurable):
         if training and self.frequency_warping:
             trunc = self.warp_factor_truncation
             if trunc is None:
-                trunc = float(jnp.log(1.3))
+                import math
+                trunc = math.log(1.3)
             key = self.make_rng('augment')
             k1, k2 = jax.random.split(key)
             warp = jnp.exp(jnp.clip(
