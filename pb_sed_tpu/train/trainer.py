@@ -47,7 +47,7 @@ class Trainer(Configurable):
                  checkpoint_trigger=(1000, 'iteration'),
                  stop_trigger=(10000, 'iteration'),
                  keep_checkpoints=1, seed=0, use_mesh=True,
-                 loss_scale=None):
+                 loss_scale=None, steps_per_call=1):
         self.model = model
         self.optimizer = optimizer if optimizer is not None else Adam()
         self.storage_dir = Path(storage_dir) if storage_dir else None
@@ -63,9 +63,13 @@ class Trainer(Configurable):
         self.lr_factor_backoff = 1.
         self.validation_hook = None
         self.opt_state = None
+        self._device_step_state = None
         self._tx = self.optimizer.make_transform()
+        self.steps_per_call = steps_per_call
         self._step_fn = None
+        self._multi_step_fn = None
         self._val_fn = None
+        self._batch_buffer = []
         self._writer = None
         self._summary = _empty_summary()
         self.mesh = get_mesh() if use_mesh else None
@@ -83,6 +87,7 @@ class Trainer(Configurable):
     def register_hook(self, hook):
         assert isinstance(hook, Hook), type(hook)
         self.hooks.append(hook)
+        self._step_fn = None  # re-bake (e.g. LR annealing breakpoints)
 
     def register_validation_hook(
             self, validate_set, metric='loss', maximize=False,
@@ -130,15 +135,40 @@ class Trainer(Configurable):
         if self._step_fn is None:
             self._build_step_fns()
 
+    def _annealing_points(self):
+        """Collect LRAnnealingHook breakpoints to bake into the step."""
+        from pb_sed_tpu.train.hooks import LRAnnealingHook
+        for hook in self.hooks:
+            if isinstance(hook, LRAnnealingHook) and hook.breakpoints:
+                xs = np.array([float(x) for x, _ in hook.breakpoints])
+                ys = np.array([float(y) for _, y in hook.breakpoints])
+                return xs, ys
+        return None
+
     def _build_step_fns(self):
         model = self.model
         tx = self._tx
         frozen = self._frozen_mask
         frozen_stats = getattr(self, '_frozen_stats_mask', None)
+        base_lr = float(self.optimizer.lr)
+        annealing = self._annealing_points()
 
-        def train_step(variables, opt_state, batch, rng, lr):
-            rngs = {'augment': jax.random.fold_in(rng, 0),
-                    'dropout': jax.random.fold_in(rng, 1)}
+        def step_body(variables, opt_state, batch, rng, iteration,
+                      lr_scale):
+            # Everything that changes per step (rng, iteration, LR
+            # annealing) lives in device-resident args advanced ON DEVICE:
+            # per-step host->device transfers serialize the dispatch
+            # pipeline (catastrophic on remote backends).
+            step_rng = jax.random.fold_in(rng, 0)
+            rngs = {'augment': jax.random.fold_in(step_rng, 0),
+                    'dropout': jax.random.fold_in(step_rng, 1)}
+            next_rng = jax.random.fold_in(rng, 1)
+            lr = base_lr * lr_scale
+            if annealing is not None:
+                lr = lr * jnp.interp(
+                    iteration.astype(jnp.float32),
+                    jnp.asarray(annealing[0], jnp.float32),
+                    jnp.asarray(annealing[1], jnp.float32))
 
             def loss_of(params):
                 vs = dict(variables)
@@ -167,7 +197,31 @@ class Trainer(Configurable):
             scalars = dict(scalars)
             scalars['grad_norm'] = grad_norm
             scalars['lr'] = lr
-            return new_vars, opt_state, loss, scalars, buffers, images
+            return (new_vars, opt_state, next_rng, iteration + 1,
+                    loss, scalars, buffers, images)
+
+        train_step = step_body
+
+        def train_multi_step(variables, opt_state, batches, rng,
+                             iteration, lr_scale):
+            """K train steps in one XLA program: lax.scan over stacked
+            batches (K, B, ...) amortizes per-call dispatch/RPC overhead
+            (the main cost on remote backends) and lets XLA overlap the
+            steps' host-independent work."""
+
+            def body(carry, batch):
+                variables, opt_state, rng, iteration = carry
+                (new_vars, opt_state, next_rng, next_it, loss, scalars,
+                 buffers, images) = step_body(
+                    variables, opt_state, batch, rng, iteration, lr_scale)
+                return ((new_vars, opt_state, next_rng, next_it),
+                        (loss, scalars, buffers))
+
+            (variables, opt_state, rng, iteration), (
+                losses, scalars, buffers) = jax.lax.scan(
+                body, (variables, opt_state, rng, iteration), batches)
+            return (variables, opt_state, rng, iteration, losses,
+                    scalars, buffers)
 
         def val_step(variables, batch):
             loss, aux = model.loss_fn(variables, batch, rngs={},
@@ -180,21 +234,35 @@ class Trainer(Configurable):
             data = batch_sharding(self.mesh)
             self._step_fn = jax.jit(
                 train_step,
-                in_shardings=(repl, repl, data, repl, repl),
-                out_shardings=(repl, repl, repl, repl, repl, repl),
-                donate_argnums=(0, 1),
+                in_shardings=(repl, repl, data, repl, repl, repl),
+                out_shardings=(repl,) * 8,
+                donate_argnums=(0, 1, 3),
             )
             self._val_fn = jax.jit(
                 val_step, in_shardings=(repl, data),
             )
         else:
-            self._step_fn = jax.jit(train_step, donate_argnums=(0, 1))
+            self._step_fn = jax.jit(train_step, donate_argnums=(0, 1, 3))
             self._val_fn = jax.jit(val_step)
+        self._multi_step_fn = jax.jit(
+            train_multi_step, donate_argnums=(0, 1, 3))
+        self._device_step_state = None
 
     @property
     def learning_rate(self):
         return (self.optimizer.lr * self.lr_factor_annealing
                 * self.lr_factor_backoff)
+
+    def _sync_step_state(self):
+        """(Re)materialize the device-resident per-step state. Called on
+        start/resume and whenever a host-side factor changes (back-off) —
+        NOT per step."""
+        self._device_step_state = (
+            # copy: the step donates its rng buffer
+            jnp.array(np.asarray(self._rng)),
+            jnp.asarray(self.iteration, jnp.int32),
+            jnp.asarray(self.lr_factor_backoff, jnp.float32),
+        )
 
     # ------------------------------------------------------------------
     # train loop
@@ -214,7 +282,11 @@ class Trainer(Configurable):
                 for batch in train_set:
                     if self.stop_trigger(self.iteration, self.epoch):
                         break
-                    self.train_step(batch)
+                    if self.steps_per_call > 1:
+                        self._enqueue_batch(batch)
+                    else:
+                        self.train_step(batch)
+                self._drain_batch_buffer()
                 self.epoch += 1
             # final checkpoint + validation
             self._flush_summary(prefix='training')
@@ -235,11 +307,14 @@ class Trainer(Configurable):
                      if self.mesh is not None else 1)
         batch, _ = pad_batch_to_multiple(batch, mesh_size)
         device_batch = _device_batch(batch)
-        self._rng, step_rng = jax.random.split(self._rng)
-        variables, self.opt_state, loss, scalars, buffers, images = (
-            self._step_fn(
-                self.model.variables, self.opt_state, device_batch,
-                step_rng, jnp.float32(self.learning_rate)))
+        if self._device_step_state is None:
+            self._sync_step_state()
+        rng, iteration, lr_scale = self._device_step_state
+        (variables, self.opt_state, next_rng, next_iteration, loss,
+         scalars, buffers, images) = self._step_fn(
+            self.model.variables, self.opt_state, device_batch,
+            rng, iteration, lr_scale)
+        self._device_step_state = (next_rng, next_iteration, lr_scale)
         self.model.variables = variables
         self.iteration += 1
         self._accumulate_summary(loss, scalars, buffers, images)
@@ -252,6 +327,64 @@ class Trainer(Configurable):
         for hook in self.hooks:
             hook.post_step(self, batch, loss, None)
         return loss
+
+    # ------------------------------------------------------------------
+    # multi-step lane (steps_per_call > 1)
+    # ------------------------------------------------------------------
+    def _enqueue_batch(self, batch):
+        if self._batch_buffer and not _same_shapes(
+                self._batch_buffer[0], batch):
+            self._drain_batch_buffer()
+        self._batch_buffer.append(batch)
+        if len(self._batch_buffer) >= self.steps_per_call:
+            self._drain_batch_buffer()
+
+    def _drain_batch_buffer(self):
+        batches, self._batch_buffer = self._batch_buffer, []
+        if not batches:
+            return
+        if len(batches) == 1:
+            self.train_step(batches[0])
+            return
+        self.train_steps(batches)
+
+    def train_steps(self, batches):
+        """Run len(batches) train steps as ONE jitted lax.scan call."""
+        self._ensure_ready(batches[0])
+        for hook in self.hooks:
+            hook.pre_step(self)
+        mesh_size = (len(self.mesh.devices.flat)
+                     if self.mesh is not None else 1)
+        padded = [pad_batch_to_multiple(b, mesh_size)[0] for b in batches]
+        keys = [k for k, v in padded[0].items()
+                if isinstance(v, (np.ndarray, jnp.ndarray))]
+        stacked = {
+            k: jnp.stack([jnp.asarray(b[k]) for b in padded])
+            for k in keys
+        }
+        if self._device_step_state is None:
+            self._sync_step_state()
+        rng, iteration, lr_scale = self._device_step_state
+        (variables, self.opt_state, next_rng, next_iteration, losses,
+         scalars, buffers) = self._multi_step_fn(
+            self.model.variables, self.opt_state, stacked,
+            rng, iteration, lr_scale)
+        self._device_step_state = (next_rng, next_iteration, lr_scale)
+        self.model.variables = variables
+        self.iteration += len(batches)
+        # scalars/losses are (K,)-stacked; buffers (K, B, ...) -> (K*B,...)
+        flat_buffers = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), buffers)
+        self._accumulate_summary(losses, scalars, flat_buffers, {})
+        if self.summary_trigger(self.iteration):
+            self._flush_summary(prefix='training')
+        if self.checkpoint_trigger(self.iteration):
+            self.save_checkpoint()
+            if self.validation_hook is not None:
+                self.validate()
+        for hook in self.hooks:
+            hook.post_step(self, batches[-1], losses, None)
+        return losses
 
     # ------------------------------------------------------------------
     # validation (metric tracking, back-off, early stopping, best ckpt)
@@ -289,6 +422,7 @@ class Trainer(Configurable):
                 self.lr_factor_backoff *= hook['lr_update_factor']
                 hook['back_offs_done'] += 1
                 hook['validations_since_best'] = 0
+                self._sync_step_state()  # push new lr scale to device
                 print(f'Backing off lr to {self.learning_rate}')
         print(f'Validation {metric_name}: {value:.4f} '
               f'(best {hook["best"]:.4f})')
@@ -318,6 +452,7 @@ class Trainer(Configurable):
             assert np.isfinite(float(vloss)), float(vloss)
         self.iteration = it
         self._summary = _empty_summary()
+        self._device_step_state = None  # reset device iteration counter
         print('Finished test run')
 
     # ------------------------------------------------------------------
@@ -337,9 +472,10 @@ class Trainer(Configurable):
         if not self._summary['scalars']:
             return
         s = self._summary
-        # device -> host conversion happens only here (once per trigger)
+        # device -> host conversion happens only here (once per trigger);
+        # multi-step entries arrive (K,)-stacked -> mean
         s['scalars'] = {
-            key: [float(np.asarray(v)) for v in values]
+            key: [float(np.mean(np.asarray(v))) for v in values]
             for key, values in s['scalars'].items()
         }
         for buffers in s.pop('_raw', []):
@@ -436,6 +572,7 @@ class Trainer(Configurable):
                 self.opt_state, payload['optimizer'])
         if payload.get('rng') is not None:
             self._rng = jnp.asarray(payload['rng'])
+        self._device_step_state = None
         print(f'Resumed from iteration {self.iteration}')
         return True
 
@@ -445,6 +582,15 @@ class Trainer(Configurable):
 # ----------------------------------------------------------------------
 def _empty_summary():
     return {'scalars': {}, 'buffers': {}, 'images': {}}
+
+
+def _same_shapes(batch_a, batch_b):
+    for key, value in batch_a.items():
+        if isinstance(value, (np.ndarray, jnp.ndarray)):
+            other = batch_b.get(key)
+            if other is None or np.shape(other) != np.shape(value):
+                return False
+    return True
 
 
 def _merge_summary(summary, model, loss, scalars, buffers, images):

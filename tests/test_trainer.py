@@ -164,3 +164,33 @@ def test_freeze_blocks_updates(tmp_path):
         np.testing.assert_array_equal(before[k], after[k])
     assert any(
         np.abs(before[k] - after[k]).max() > 0 for k in moved_keys)
+
+
+def test_multi_step_training(tmp_path):
+    provider = make_provider(tmp_path / 'db')
+    model = make_model()
+    trainer = Trainer(model, storage_dir=None,
+                      stop_trigger=(8, 'iteration'), steps_per_call=4)
+    trainer.optimizer.lr = 5e-3
+    batch = next(iter(provider.get_train_set()))
+    trainer._ensure_ready(batch)
+    losses = trainer.train_steps([batch] * 4)
+    assert trainer.iteration == 4
+    assert np.asarray(losses).shape == (4,)
+    assert np.isfinite(np.asarray(losses)).all()
+    # multi-step result matches per-step training numerically
+    model2 = make_model()
+    trainer2 = Trainer(model2, storage_dir=None,
+                       stop_trigger=(8, 'iteration'))
+    trainer2.optimizer.lr = 5e-3
+    trainer2._ensure_ready(batch)
+    for _ in range(4):
+        trainer2.train_step(batch)
+    a = trainer.model.state_dict()
+    b = trainer2.model.state_dict()
+    for key in list(a)[:50]:
+        # bf16 compute + scan vs unrolled step ordering leaves small
+        # floating-point drift; semantics are identical
+        np.testing.assert_allclose(a[key], b[key], atol=1e-2, err_msg=key)
+    # buffered summaries flush fine (stacked scalars)
+    trainer._flush_summary(prefix='training')
