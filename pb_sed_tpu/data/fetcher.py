@@ -88,10 +88,25 @@ class DataFetcher(Configurable):
     bucket_expiration: int = None
     max_bucket_buffer_size: int = None
     drop_incomplete: bool = False
+    # multi-host sharding: None = infer from jax.process_index/count
+    num_shards: int = None
+    shard_index: int = None
     # wired by the provider: STFT geometry config for exact waveform padding
     stft: dict = None
 
     def __call__(self, dataset, batched_input=False):
+        num_shards, shard_index = self.num_shards, self.shard_index
+        if num_shards is None:
+            try:
+                import jax
+                num_shards = jax.process_count()
+                shard_index = jax.process_index()
+            except Exception:
+                num_shards = 1
+                shard_index = 0
+        if num_shards > 1:
+            from pb_sed_tpu.data.lazy import ShardDataset
+            dataset = ShardDataset(dataset, num_shards, shard_index or 0)
         if self.global_shuffle:
             dataset = dataset.shuffle(reshuffle=True)
         if self.prefetch_workers > 0:

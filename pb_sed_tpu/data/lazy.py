@@ -359,6 +359,42 @@ class UnbatchDataset(Dataset):
             yield from batch
 
 
+class ShardDataset(Dataset):
+    """Every ``num_shards``-th example starting at ``shard_index`` — the
+    per-host shard of a multi-host input pipeline (each host feeds its
+    own data-parallel slice; SURVEY.md §5 multi-host input pipeline)."""
+
+    def __init__(self, parent, num_shards, shard_index):
+        assert 0 <= shard_index < num_shards, (shard_index, num_shards)
+        self.parent = parent
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+
+    def __len__(self):
+        n = len(self.parent)
+        return (n - self.shard_index + self.num_shards - 1) \
+            // self.num_shards
+
+    def __getitem__(self, item):
+        if isinstance(item, (int, np.integer)):
+            return self.parent[self.shard_index
+                               + int(item) * self.num_shards]
+        return super().__getitem__(item)
+
+    def __iter__(self):
+        for i, ex in enumerate(self.parent):
+            if i % self.num_shards == self.shard_index:
+                yield ex
+
+    @property
+    def indexable(self):
+        return self.parent.indexable
+
+    def copy(self, freeze=False):
+        return ShardDataset(self.parent.copy(freeze), self.num_shards,
+                            self.shard_index)
+
+
 class InterspersedDataset(Dataset):
     """Round-robin proportional interleave (lazy_dataset.intersperse)."""
 

@@ -255,10 +255,13 @@ class TransformerEncoder(nn.Module, Configurable):
         self.num_layers = cfg.get('num_layers', 6)
         self.dropout_rate = cfg.get('dropout', 0.2)
         self.num_heads = cfg.get('num_heads', 8)
-        head_cfg = dict(self.output_net)
-        head_cfg.pop('factory', None)
-        head_cfg.setdefault('output_layer', True)
-        self.head = CNN1d(**head_cfg)
+        if isinstance(self.output_net, CNN1d):
+            self.head = self.output_net
+        else:
+            head_cfg = dict(self.output_net)
+            head_cfg.pop('factory', None)
+            head_cfg.setdefault('output_layer', True)
+            self.head = CNN1d(**head_cfg)
         self.in_proj = nn.Dense(self.hidden_size)
         self.blocks = [
             _TransformerBlock(

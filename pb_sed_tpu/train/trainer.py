@@ -478,6 +478,14 @@ class Trainer(Configurable):
             key: [float(np.mean(np.asarray(v))) for v in values]
             for key, values in s['scalars'].items()
         }
+        now = time.time()
+        last_flush = getattr(self, '_last_flush', None)
+        if last_flush is not None:
+            it_last, t_last = last_flush
+            elapsed = max(now - t_last, 1e-9)
+            s['scalars']['steps_per_second'] = [
+                (self.iteration - it_last) / elapsed]
+        self._last_flush = (self.iteration, now)
         for buffers in s.pop('_raw', []):
             if hasattr(self.model, 'review_from_aux'):
                 review = self.model.review_from_aux(
