@@ -165,3 +165,21 @@ def test_stacked_ensemble_matches_sequential(setup):
     y_seq0, _ = models[0].sound_event_detection(batch, window_length=5)
     y_seq1, _ = models[1].sound_event_detection(batch, window_length=5)
     np.testing.assert_allclose(y, (y_seq0 + y_seq1) / 2, atol=2e-5)
+
+
+def test_stacked_ensemble_on_mesh(setup):
+    """Ensemble axis sharded over the virtual 8-device mesh (ICI plan,
+    SURVEY.md §2.4 'ensemble parallel')."""
+    import jax
+    from pb_sed_tpu.parallel.mesh import get_mesh
+    from pb_sed_tpu.models.base.ensemble import StackedEnsemble
+    provider, models, db, tmp_path = setup
+    # 2 members over a (2, 4) (ensemble, data) mesh
+    mesh = get_mesh(ensemble_size=2)
+    assert mesh.axis_names == ('ensemble', 'data')
+    runner = StackedEnsemble(models, mesh=mesh)
+    batch = next(iter(provider.get_validate_set()))
+    y, seq_len = runner.tagging(batch)
+    y0, _ = models[0].tagging(batch)
+    y1, _ = models[1].tagging(batch)
+    np.testing.assert_allclose(y, (y0 + y1) / 2, atol=2e-5)
