@@ -52,9 +52,8 @@ class StackedEnsemble:
     def _apply(self, batch, method, **kwargs):
         key = (getattr(method, '__name__', method),
                tuple(sorted(kwargs.items())))
+        module = self.module
         if key not in self._jit_cache:
-            module = self.module
-
             def one(variables, device_batch):
                 return module.apply(
                     variables, device_batch, training=False,
@@ -66,12 +65,30 @@ class StackedEnsemble:
                 y, seq_len = fn(variables, device_batch)
                 return y.mean(0), seq_len[0]
 
-            self._jit_cache[key] = jax.jit(mean_fn)
+            def member_mean_fn(variables, device_batch):
+                # fallback: sequential members inside one jit (some
+                # vmapped convolutions hit grouped-conv constraints)
+                ys = []
+                seq_len = None
+                for i in range(len(self.models)):
+                    member = jax.tree_util.tree_map(
+                        lambda x: x[i], variables)
+                    y, seq_len = one(member, device_batch)
+                    ys.append(y)
+                return jnp.stack(ys).mean(0), seq_len
+
+            self._jit_cache[key] = [jax.jit(mean_fn),
+                                    jax.jit(member_mean_fn)]
         device_batch = {
             k: jnp.asarray(v) for k, v in batch.items()
             if isinstance(v, (np.ndarray, jnp.ndarray))
         }
-        return self._jit_cache[key](self.variables, device_batch)
+        fns = self._jit_cache[key]
+        try:
+            return fns[0](self.variables, device_batch)
+        except Exception:
+            fns[0] = fns[1]  # stop retrying the vmapped path
+            return fns[1](self.variables, device_batch)
 
     # -- inference API -------------------------------------------------
     def tagging(self, batch, **params):
