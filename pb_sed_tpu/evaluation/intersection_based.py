@@ -201,6 +201,134 @@ def psds(scores, ground_truth, audio_durations, *, dtc_threshold,
     return value, (grid, etpr), classwise_rocs
 
 
+def psds_from_operating_points(operating_points, ground_truth,
+                               audio_durations, *, dtc_threshold,
+                               gtc_threshold, cttc_threshold=None,
+                               alpha_ct=0., alpha_st=0.,
+                               unit_of_time='hour', max_efpr=100.):
+    """PSDS from explicit per-threshold detection event lists.
+
+    Args:
+        operating_points: {threshold: {clip_id: [(onset, offset, label)]}}.
+
+    Used for the "from files" self-consistency check: detections written
+    per threshold (``write_detections_for_multiple_thresholds``) are read
+    back and must reproduce the in-memory PSDS
+    (reference ``experiments/weak_label_crnn/inference.py:326-355``).
+    """
+    unit = SECONDS_PER_UNIT[unit_of_time]
+    classes = sorted({
+        label
+        for detections in operating_points.values()
+        for events in detections.values()
+        for *_, label in events
+    } | {label for gt in ground_truth.values() for *_, label in gt})
+    k = len(classes)
+    n_ref = np.zeros(k)
+    t_ref = np.zeros(k)
+    for gt in ground_truth.values():
+        for on, off, label in gt:
+            if label in classes:
+                ki = classes.index(label)
+                n_ref[ki] += 1
+                t_ref[ki] += (off - on) / unit
+    dataset_duration = sum(audio_durations.values()) / unit
+    thresholds = sorted(operating_points.keys())
+    tprs = np.zeros((len(thresholds), k))
+    efprs = np.zeros((len(thresholds), k))
+    for ti, thr in enumerate(thresholds):
+        detections = operating_points[thr]
+        tps = np.zeros(k)
+        fps = np.zeros(k)
+        cts = np.zeros((k, k))
+        for clip_id, events in detections.items():
+            gt = ground_truth.get(clip_id, [])
+            gt_by_class = {}
+            for on, off, lb in gt:
+                gt_by_class.setdefault(lb, []).append((on, off))
+            det_by_class = {}
+            for on, off, lb in events:
+                det_by_class.setdefault(lb, []).append((on, off))
+            for ki, c in enumerate(classes):
+                dets = det_by_class.get(c, [])
+                refs = gt_by_class.get(c, [])
+                valid = []
+                for d_on, d_off in dets:
+                    dur = max(d_off - d_on, 1e-12)
+                    inter = sum(_intersection(d_on, d_off, r_on, r_off)
+                                for r_on, r_off in refs)
+                    if inter / dur >= dtc_threshold:
+                        valid.append((d_on, d_off))
+                    else:
+                        fps[ki] += 1
+                        if cttc_threshold is not None:
+                            for kj, c2 in enumerate(classes):
+                                if c2 == c:
+                                    continue
+                                refs2 = gt_by_class.get(c2, [])
+                                inter2 = sum(
+                                    _intersection(d_on, d_off, r_on, r_off)
+                                    for r_on, r_off in refs2)
+                                if inter2 / dur >= cttc_threshold:
+                                    cts[ki, kj] += 1
+                for r_on, r_off in refs:
+                    dur = max(r_off - r_on, 1e-12)
+                    if _union_intersection(valid, r_on, r_off) / dur \
+                            >= gtc_threshold:
+                        tps[ki] += 1
+        tprs[ti] = tps / np.maximum(n_ref, 1)
+        efpr = fps / max(dataset_duration, 1e-12)
+        if alpha_ct > 0. and cttc_threshold is not None and k > 1:
+            ctr = cts / np.maximum(t_ref[None, :], 1e-12)
+            np.fill_diagonal(ctr, 0.)
+            efpr = efpr + alpha_ct * ctr.sum(-1) / (k - 1)
+        efprs[ti] = efpr
+    classwise = {}
+    for ki, c in enumerate(classes):
+        order = np.argsort(efprs[:, ki], kind='mergesort')
+        e = efprs[order, ki]
+        t = np.maximum.accumulate(tprs[order, ki])
+        classwise[c] = (t, e, np.asarray(thresholds)[order])
+    grid = np.unique(np.concatenate(
+        [roc[1] for roc in classwise.values()] + [[0.]]))
+    if max_efpr is not None:
+        grid = np.concatenate((grid[grid < max_efpr], [max_efpr]))
+    tpr_at = np.zeros((k, len(grid)))
+    for ki, c in enumerate(classes):
+        t, e, _ = classwise[c]
+        idx = np.searchsorted(e, grid, side='right') - 1
+        tpr_at[ki] = np.where(idx >= 0, t[np.clip(idx, 0, None)], 0.)
+    etpr = np.maximum(tpr_at.mean(0) - alpha_st * tpr_at.std(0), 0.)
+    value = staircase_auc(etpr, grid, max_efpr) / max_efpr
+    return value, (grid, etpr), classwise
+
+
+def approximate_psds_from_detections_dir(
+        detections_dir, ground_truth, audio_durations, *,
+        dtc_threshold=.7, gtc_threshold=.7, cttc_threshold=None,
+        alpha_ct=0., alpha_st=0., unit_of_time='hour', max_efpr=100.,
+        thresholds=None, num_jobs=1):
+    """Approximate PSDS re-computed from on-disk per-threshold detection
+    TSVs (cross-check of the score-IO round trip)."""
+    del num_jobs
+    from pathlib import Path
+    from pb_sed_tpu.evaluation.scores import read_ground_truth_events
+    if isinstance(ground_truth, (str, Path)):
+        ground_truth = read_ground_truth_events(ground_truth)
+    operating_points = {}
+    for tsv in sorted(Path(detections_dir).glob('*.tsv')):
+        try:
+            thr = float(tsv.stem)
+        except ValueError:
+            continue
+        operating_points[thr] = read_ground_truth_events(tsv)
+    return psds_from_operating_points(
+        operating_points, ground_truth, audio_durations,
+        dtc_threshold=dtc_threshold, gtc_threshold=gtc_threshold,
+        cttc_threshold=cttc_threshold, alpha_ct=alpha_ct,
+        alpha_st=alpha_st, unit_of_time=unit_of_time, max_efpr=max_efpr)
+
+
 def approximate_psds(scores, ground_truth, audio_durations, *,
                      thresholds=None, dtc_threshold=.7, gtc_threshold=.7,
                      cttc_threshold=None, alpha_ct=0., alpha_st=0.,

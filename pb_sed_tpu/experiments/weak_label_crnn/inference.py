@@ -320,6 +320,12 @@ def sound_event_detection(crnns, dataset, timestamps, event_classes,
                     results[-1][f'{event_class}_approx_auc[{j}]'] = \
                         staircase_auc(tpr, efpr,
                                       params.get('max_efpr', 100))
+                if detection_storage_dir and detection_storage_dir[i]:
+                    approx_files, _, _ = intersection_based.\
+                        approximate_psds_from_detections_dir(
+                            detection_storage_dir[i], ground_truth,
+                            audio_durations, **params)
+                    print(f'approx_psds[{j}] (from files)', approx_files)
     return event_detections, results
 
 

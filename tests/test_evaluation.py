@@ -165,3 +165,30 @@ def test_psds_cross_trigger_penalty():
         scores, gt, durations, dtc_threshold=.1, gtc_threshold=.1,
         cttc_threshold=.3, alpha_ct=1., alpha_st=0.)
     assert v_ct <= v_no_ct
+
+
+def test_psds_from_detection_files(tmp_path):
+    """Detections written per threshold and read back must reproduce the
+    in-memory approximate PSDS (score-IO round-trip self-consistency,
+    reference inference.py:326-355)."""
+    from pb_sed_tpu.evaluation.scores import (
+        write_detections_for_multiple_thresholds)
+    t = 10
+    arr = np.zeros((t, 2))
+    arr[2:5, 0] = 0.9
+    arr[6:9, 1] = 0.6
+    arr[0:1, 1] = 0.4
+    scores = {'c1': make_scores(arr)}
+    gt = {'c1': [(2., 5., 'a'), (6., 9., 'b')]}
+    durations = {'c1': float(t)}
+    thresholds = np.linspace(.01, .99, 50)
+    in_memory, _, _ = intersection_based.approximate_psds(
+        scores, gt, durations, dtc_threshold=.7, gtc_threshold=.7,
+        thresholds=thresholds)
+    write_detections_for_multiple_thresholds(
+        scores, thresholds, tmp_path / 'dets')
+    from_files, _, _ = \
+        intersection_based.approximate_psds_from_detections_dir(
+            tmp_path / 'dets', gt, durations,
+            dtc_threshold=.7, gtc_threshold=.7)
+    assert from_files == pytest.approx(in_memory, abs=1e-6)
