@@ -95,6 +95,8 @@ class DataFetcher(Configurable):
     stft: dict = None
 
     def __call__(self, dataset, batched_input=False):
+        assert self.batch_size is None or self.batch_size >= 1, \
+            f'batch_size must be >= 1, got {self.batch_size}'
         num_shards, shard_index = self.num_shards, self.shard_index
         if num_shards is None:
             try:

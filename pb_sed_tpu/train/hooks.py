@@ -19,12 +19,16 @@ class IntervalTrigger:
         assert unit in ('iteration', 'epoch'), unit
         self.period = int(period)
         self.unit = unit
-        self.last = -1
+        self.last = None
 
     def __call__(self, iteration, epoch=0):
+        # fire on exact multiples only (deduped per index) — firing on
+        # the first call regardless of index would checkpoint at
+        # iteration 1 and could overwrite ckpt_latest before a resume
+        # gets to load it
         index = iteration if self.unit == 'iteration' else epoch
-        if index // self.period > self.last:
-            self.last = index // self.period
+        if index % self.period == 0 and index != self.last:
+            self.last = index
             return True
         return False
 

@@ -436,22 +436,36 @@ class Trainer(Configurable):
     # test run (padertorch dry-run contract, reference training.py:368)
     # ------------------------------------------------------------------
     def test_run(self, train_set, validate_set=None):
+        """Side-effect-free forward/backward sanity pass (reference
+        ``trainer.test_run``, experiments/weak_label_crnn/training.py:368).
+
+        Runs the jitted step on *copies* of the training state (the step
+        donates its inputs) and discards the result, so no optimizer
+        update is applied, no trigger fires, and no checkpoint is
+        written — a later ``train(resume=True)`` still sees the original
+        ``ckpt_latest``.
+        """
         print('Starting test run')
         batch = next(iter(train_set))
         self._ensure_ready(batch)
-        it, self.iteration = self.iteration, 0
-        loss = self.train_step(batch)
+        mesh_size = (len(self.mesh.devices.flat)
+                     if self.mesh is not None else 1)
+        tbatch, _ = pad_batch_to_multiple(batch, mesh_size)
+        if self._device_step_state is None:
+            self._sync_step_state()
+        rng, iteration, lr_scale = self._device_step_state
+        out = self._step_fn(
+            jax.tree.map(jnp.copy, self.model.variables),
+            jax.tree.map(jnp.copy, self.opt_state),
+            _device_batch(tbatch), jnp.copy(rng), iteration, lr_scale)
+        loss = out[4]
         assert np.isfinite(float(loss)), float(loss)
         if validate_set is not None:
             vbatch = next(iter(validate_set))
-            mesh_size = (len(self.mesh.devices.flat)
-                         if self.mesh is not None else 1)
             vbatch, _ = pad_batch_to_multiple(vbatch, mesh_size)
             vloss, *_ = self._val_fn(
                 self.model.variables, _device_batch(vbatch))
             assert np.isfinite(float(vloss)), float(vloss)
-        self.iteration = it
-        self._summary = _empty_summary()
         self._device_step_state = None  # reset device iteration counter
         print('Finished test run')
 
@@ -580,6 +594,12 @@ class Trainer(Configurable):
                 self.opt_state, payload['optimizer'])
         if payload.get('rng') is not None:
             self._rng = jnp.asarray(payload['rng'])
+        # re-align interval triggers with the restored iteration so the
+        # first post-resume step doesn't immediately fire checkpoint /
+        # summary / validation
+        for trigger in (self.checkpoint_trigger, self.summary_trigger):
+            if trigger.unit == 'iteration':
+                trigger.last = self.iteration
         self._device_step_state = None
         print(f'Resumed from iteration {self.iteration}')
         return True
