@@ -143,6 +143,14 @@ class Experiment:
     def run(self, config_updates=None):
         self.observers = []
         cfg = self.build_config(config_updates)  # may append observers
+        # reference parity for the `device` config (int GPU ordinal in
+        # the reference): a platform string selects the jax backend.
+        # Must happen before first backend use; env vars are too late in
+        # environments whose TPU plugin pins jax_platforms at import.
+        device = cfg.get('device')
+        if isinstance(device, str):
+            import jax
+            jax.config.update('jax_platforms', device)
         assert self.main_fn is not None, 'no main function registered'
         import inspect
         sig = inspect.signature(self.main_fn)

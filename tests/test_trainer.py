@@ -129,6 +129,54 @@ def test_trainer_end_to_end(tmp_path):
     assert trainer2.iteration == 10
 
 
+def test_test_run_is_side_effect_free(tmp_path):
+    """Regression: test_run used to run a real train_step whose
+    checkpoint trigger fired at iteration 1 and overwrote ckpt_latest
+    before train(resume=True) could load it, silently restarting
+    training from scratch; it also applied one hidden optimizer update.
+    """
+    import pickle
+
+    import jax
+    import numpy as np
+
+    provider = make_provider(tmp_path / 'db')
+    storage = tmp_path / 'run'
+    trainer = Trainer(
+        model := make_model(), storage_dir=storage,
+        checkpoint_trigger=(3, 'iteration'),
+        stop_trigger=(6, 'iteration'),
+    )
+    train_set = provider.get_train_set()
+    trainer.train(train_set)
+    assert trainer.iteration == 6
+    latest = storage / 'checkpoints' / 'ckpt_latest.pkl'
+    with latest.open('rb') as fid:
+        assert pickle.load(fid)['iteration'] == 6
+
+    # fresh trainer, same storage dir: the reference chain runs
+    # test_run BEFORE train(resume=True)
+    trainer2 = Trainer(
+        make_model(), storage_dir=storage,
+        checkpoint_trigger=(3, 'iteration'),
+        stop_trigger=(9, 'iteration'),
+    )
+    trainer2._ensure_ready(next(iter(train_set)))
+    params_before = jax.tree.map(np.asarray, trainer2.model.variables)
+    trainer2.test_run(train_set)
+    params_after = jax.tree.map(np.asarray, trainer2.model.variables)
+    # no hidden optimizer update
+    jax.tree.map(np.testing.assert_array_equal,
+                 params_before, params_after)
+    # ckpt_latest untouched -> resume continues at 6, stops at 9
+    with latest.open('rb') as fid:
+        assert pickle.load(fid)['iteration'] == 6
+    trainer2.train(train_set, resume=True)
+    assert trainer2.iteration == 9
+    with latest.open('rb') as fid:
+        assert pickle.load(fid)['iteration'] == 9
+
+
 def test_trainer_overfits_tiny_batch(tmp_path):
     provider = make_provider(tmp_path / 'db')
     model = make_model()
