@@ -53,25 +53,30 @@ def main():
 
     # multi-step lane: K steps per XLA call (lax.scan over stacked
     # batches) — amortizes per-call dispatch/tunnel latency; this is the
-    # supported steady-state training mode (Trainer.steps_per_call)
-    k = 10
-    trainer.steps_per_call = k
-    trainer._step_fn = None  # rebuild step fns with the multi lane
-    trainer._ensure_ready(batch)
-    batches = [batch] * k
-    trainer.train_steps(batches)  # compile
-    jax.block_until_ready(trainer.model.variables)
-    n_calls = 4
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        trainer.train_steps(batches)
-    jax.block_until_ready(trainer.model.variables)
-    dt_multi = time.perf_counter() - t0
-
+    # supported steady-state training mode (Trainer.steps_per_call).
+    # Wrapped so a compile hiccup can never cost the headline number.
     n_chips = jax.device_count()
     single = batch_size * n_steps / dt_single / n_chips
-    multi = batch_size * k * n_calls / dt_multi / n_chips
-    clips_per_sec_per_chip = max(single, multi)
+    multi = None
+    try:
+        k = 10
+        trainer.steps_per_call = k
+        trainer._step_fn = None  # rebuild step fns with the multi lane
+        trainer._ensure_ready(batch)
+        batches = [batch] * k
+        trainer.train_steps(batches)  # compile
+        jax.block_until_ready(trainer.model.variables)
+        n_calls = 4
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            trainer.train_steps(batches)
+        jax.block_until_ready(trainer.model.variables)
+        dt_multi = time.perf_counter() - t0
+        multi = batch_size * k * n_calls / dt_multi / n_chips
+    except Exception as exc:  # noqa: BLE001
+        print(f'multi-step lane skipped: {exc!r}', file=sys.stderr)
+
+    clips_per_sec_per_chip = max(single, multi or 0.)
     print(json.dumps({
         'metric': 'FBCRNN train clips/sec/chip (10s DESED clips, bs=32, '
                   'full device pipeline)',
@@ -80,7 +85,7 @@ def main():
         'vs_baseline': round(
             clips_per_sec_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3),
         'single_step_lane': round(single, 2),
-        'multi_step_lane_k10': round(multi, 2),
+        'multi_step_lane_k10': round(multi, 2) if multi else None,
     }))
 
 

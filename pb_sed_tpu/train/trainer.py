@@ -47,7 +47,8 @@ class Trainer(Configurable):
                  checkpoint_trigger=(1000, 'iteration'),
                  stop_trigger=(10000, 'iteration'),
                  keep_checkpoints=1, seed=0, use_mesh=True,
-                 loss_scale=None, steps_per_call=1):
+                 loss_scale=None, steps_per_call=1,
+                 profile_at=None, profile_num_steps=3):
         self.model = model
         self.optimizer = optimizer if optimizer is not None else Adam()
         self.storage_dir = Path(storage_dir) if storage_dir else None
@@ -66,6 +67,13 @@ class Trainer(Configurable):
         self._device_step_state = None
         self._tx = self.optimizer.make_transform()
         self.steps_per_call = steps_per_call
+        # JAX profiler trace around iterations [profile_at,
+        # profile_at + profile_num_steps) into storage_dir/profile
+        # (SURVEY.md §5: TPU-native replacement for the reference's
+        # wall-clock-only observability)
+        self.profile_at = profile_at
+        self.profile_num_steps = profile_num_steps
+        self._profiling = False
         self._step_fn = None
         self._multi_step_fn = None
         self._val_fn = None
@@ -294,13 +302,34 @@ class Trainer(Configurable):
                 self.validate()
             self.save_checkpoint()
         finally:
+            self._maybe_stop_profile(force=True)
             if tracker is not None:
                 tracker.stop()
             if self._writer is not None:
                 self._writer.flush()
 
+    def _maybe_start_profile(self):
+        if (self.profile_at is not None and not self._profiling
+                and self.iteration + 1 == self.profile_at
+                and self.storage_dir is not None):
+            logdir = self.storage_dir / 'profile'
+            logdir.mkdir(parents=True, exist_ok=True)
+            jax.profiler.start_trace(str(logdir))
+            self._profiling = True
+
+    def _maybe_stop_profile(self, force=False):
+        if self._profiling and (
+                force or self.iteration
+                >= self.profile_at + self.profile_num_steps):
+            jax.block_until_ready(self.model.variables)
+            jax.profiler.stop_trace()
+            self._profiling = False
+            print(f'Profiler trace written to '
+                  f'{self.storage_dir / "profile"}')
+
     def train_step(self, batch):
         self._ensure_ready(batch)
+        self._maybe_start_profile()
         for hook in self.hooks:
             hook.pre_step(self)
         mesh_size = (len(self.mesh.devices.flat)
@@ -326,6 +355,7 @@ class Trainer(Configurable):
                 self.validate()
         for hook in self.hooks:
             hook.post_step(self, batch, loss, None)
+        self._maybe_stop_profile()
         return loss
 
     # ------------------------------------------------------------------

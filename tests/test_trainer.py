@@ -177,6 +177,21 @@ def test_test_run_is_side_effect_free(tmp_path):
         assert pickle.load(fid)['iteration'] == 9
 
 
+def test_trainer_profiler_trace(tmp_path):
+    """profile_at captures a JAX profiler trace into storage_dir/profile
+    (SURVEY.md §5 TPU-native observability)."""
+    provider = make_provider(tmp_path / 'db')
+    storage = tmp_path / 'run'
+    trainer = Trainer(
+        make_model(), storage_dir=storage,
+        stop_trigger=(4, 'iteration'),
+        profile_at=2, profile_num_steps=2,
+    )
+    trainer.train(provider.get_train_set())
+    trace_files = list((storage / 'profile').rglob('*'))
+    assert any(p.is_file() for p in trace_files), trace_files
+
+
 def test_trainer_overfits_tiny_batch(tmp_path):
     provider = make_provider(tmp_path / 'db')
     model = make_model()
