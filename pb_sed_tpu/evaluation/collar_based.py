@@ -142,10 +142,17 @@ def candidate_thresholds(scores, classes, max_thresholds=50):
     return out
 
 
+def _counts_job(threshold, scores, ground_truth, classes, onset_collar,
+                offset_collar, offset_collar_rate):
+    """parallel_map job: threshold first, shared data after."""
+    return _counts_at_threshold(
+        scores, ground_truth, threshold, classes,
+        onset_collar, offset_collar, offset_collar_rate)
+
+
 def best_fscore(scores, ground_truth, *, onset_collar=.2, offset_collar=.2,
                 offset_collar_rate=.2, beta=1., min_precision=0.,
                 min_recall=0., max_thresholds=50, num_jobs=1):
-    del num_jobs
     ground_truth = _resolve_ground_truth(ground_truth)
     classes = None
     for clip_id in scores:
@@ -154,11 +161,14 @@ def best_fscore(scores, ground_truth, *, onset_collar=.2, offset_collar=.2,
     grids = candidate_thresholds(scores, classes, max_thresholds)
     # evaluate the union grid once per threshold; each class picks its best
     union = np.unique(np.concatenate(list(grids.values())))
+    from pb_sed_tpu.evaluation.parallel import parallel_map
+    all_stats = parallel_map(
+        _counts_job, [float(t) for t in union],
+        (scores, ground_truth, classes, onset_collar, offset_collar,
+         offset_collar_rate),
+        num_jobs=num_jobs)
     per_class_curves = {c: [] for c in classes}
-    for thr in union:
-        stats = _counts_at_threshold(
-            scores, ground_truth, float(thr), classes,
-            onset_collar, offset_collar, offset_collar_rate)
+    for thr, stats in zip(union, all_stats):
         f, p, r = _f_p_r(stats, beta)
         for c in classes:
             per_class_curves[c].append((float(thr), f[c], p[c], r[c]))

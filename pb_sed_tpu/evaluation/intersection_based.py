@@ -55,6 +55,15 @@ def _intersection(a_on, a_off, b_on, b_off):
     return max(0., min(a_off, b_off) - max(a_on, b_on))
 
 
+def _counts_job(threshold, scores_arrays, ground_truth, classes,
+                dtc_threshold, gtc_threshold, cttc_threshold,
+                time_decimals):
+    """parallel_map job: threshold first, shared data after."""
+    return _counts_at_threshold(
+        scores_arrays, ground_truth, classes, threshold,
+        dtc_threshold, gtc_threshold, cttc_threshold, time_decimals)
+
+
 def _counts_at_threshold(
         scores_arrays, ground_truth, classes, threshold,
         dtc_threshold, gtc_threshold, cttc_threshold, time_decimals):
@@ -132,7 +141,6 @@ def psds(scores, ground_truth, audio_durations, *, dtc_threshold,
 
     ``classwise_rocs``: {class: (tpr, efpr, thresholds)}.
     """
-    del num_jobs
     from pathlib import Path
     if isinstance(ground_truth, (str, Path)):
         from pb_sed_tpu.evaluation.scores import read_ground_truth_events
@@ -164,10 +172,13 @@ def psds(scores, ground_truth, audio_durations, *, dtc_threshold,
 
     tprs = np.zeros((len(thresholds), k))
     efprs = np.zeros((len(thresholds), k))
-    for ti, thr in enumerate(thresholds):
-        tps, fps, cts = _counts_at_threshold(
-            scores_arrays, ground_truth, classes, float(thr),
-            dtc_threshold, gtc_threshold, cttc_threshold, time_decimals)
+    from pb_sed_tpu.evaluation.parallel import parallel_map
+    all_counts = parallel_map(
+        _counts_job, [float(t) for t in thresholds],
+        (scores_arrays, ground_truth, classes, dtc_threshold,
+         gtc_threshold, cttc_threshold, time_decimals),
+        num_jobs=num_jobs)
+    for ti, (tps, fps, cts) in enumerate(all_counts):
         tprs[ti] = tps / np.maximum(n_ref, 1)
         efpr = fps / max(dataset_duration, 1e-12)
         if alpha_ct > 0. and cttc_threshold is not None and k > 1:

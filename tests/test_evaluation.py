@@ -192,3 +192,29 @@ def test_psds_from_detection_files(tmp_path):
             tmp_path / 'dets', gt, durations,
             dtc_threshold=.7, gtc_threshold=.7)
     assert from_files == pytest.approx(in_memory, abs=1e-6)
+
+
+def test_psds_parallel_matches_serial(monkeypatch):
+    """num_jobs>1 (spawn pool) must reproduce the serial sweep exactly
+    (reference runs all evaluation with num_jobs=8, SURVEY.md §2.3f)."""
+    from pb_sed_tpu.evaluation import parallel as par
+    t = 10
+    arr = np.zeros((t, 2))
+    arr[2:5, 0] = 0.9
+    arr[6:9, 1] = 0.7
+    arr[0:1, 1] = 0.4
+    scores = {'c1': make_scores(arr)}
+    gt = {'c1': [(2., 5., 'a'), (6., 9., 'b')]}
+    durations = {'c1': float(t)}
+    kwargs = dict(dtc_threshold=.7, gtc_threshold=.7,
+                  alpha_ct=0., alpha_st=0., max_efpr=100.)
+    serial, (grid_s, etpr_s), _ = intersection_based.psds(
+        scores, gt, durations, num_jobs=1, **kwargs)
+    # this box can report 1 cpu, which forces the serial fallback;
+    # pretend there are more so the pool path actually runs
+    monkeypatch.setattr(par.os, 'cpu_count', lambda: 4)
+    pooled, (grid_p, etpr_p), _ = intersection_based.psds(
+        scores, gt, durations, num_jobs=2, **kwargs)
+    assert pooled == pytest.approx(serial)
+    np.testing.assert_allclose(grid_p, grid_s)
+    np.testing.assert_allclose(etpr_p, etpr_s)
