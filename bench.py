@@ -1,18 +1,29 @@
-"""Benchmark: FBCRNN training throughput (clips/sec/chip) on DESED-shaped
-batches — the BASELINE.json headline metric ("DESED clips/sec/chip
-(feature+CRNN train & infer)").
+"""Benchmarks for the BASELINE.json north-star workloads.
 
-Runs the full device pipeline per step: waveform -> STFT -> warped mel ->
-augmentation -> CNN -> fwd/bwd GRU heads -> losses -> grads -> Adam update,
-as one jitted XLA program on the available chip(s).
+Lanes (all on the attached chip(s), compile excluded):
 
-Baseline: the reference repo publishes no throughput numbers
-(BASELINE.md); we compare against an estimated 200 clips/s for the
-PyTorch reference FBCRNN train step on one A100 (batch 32, 10 s clips) —
-documented assumption, revisited when a measured number exists.
+1. ``train``: FBCRNN training throughput, full device pipeline per step
+   (waveform -> STFT -> warped mel -> aug -> CNN -> fwd/bwd GRU ->
+   losses -> grads -> Adam), single-step and K-steps-per-XLA-call.
+2. ``ensemble``: 10-model stacked-ensemble sliding-window SED inference
+   (the pseudo-labeling workload: ``BASELINE.json`` "10-model ensemble
+   pseudo-labeling inference"); members evaluate as one vmapped XLA
+   program.
+3. ``host``: end-to-end training including the HOST pipeline — synthetic
+   wav corpus decoded, bucketed, collated and shipped per step (nothing
+   pre-staged on device).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Evidence against tunnel throttling (PERFORMANCE.md): per-step wall time
+is recorded for K=1 and K=50 steps-per-call (dispatch amortized), the
+XLA-reported per-step FLOPs give an achieved-TFLOP/s figure, and a JAX
+profiler trace is captured next to the result. Baseline: the reference
+publishes no throughput numbers; we compare against an estimated 200
+clips/s for the PyTorch reference FBCRNN train step on one A100
+(documented assumption, BASELINE.md).
+
+Prints ONE final JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 """
+import argparse
 import json
 import sys
 import time
@@ -20,72 +31,288 @@ import time
 import numpy as np
 
 A100_BASELINE_CLIPS_PER_SEC = 200.
+BATCH_SIZE = 32
+SECONDS = 10.
 
 
-def main():
+def _timed(fn, n, *args):
+    """Wall seconds for n calls of fn (blocking on the last result)."""
     import jax
-    sys.path.insert(0, '.')
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
+def lane_train(results):
+    import jax
+    import jax.numpy as jnp
     from __graft_entry__ import _batch, _flagship_model
     from pb_sed_tpu.train.trainer import Trainer
 
-    batch_size = 32
-    seconds = 10.
     model = _flagship_model()
     trainer = Trainer(model, storage_dir=None,
                       stop_trigger=(10 ** 9, 'iteration'))
-    batch = _batch(model, batch_size=batch_size, seconds=seconds)
+    batch = _batch(model, batch_size=BATCH_SIZE, seconds=SECONDS)
     trainer._ensure_ready(batch)
-    # device-resident batch: isolate step time from host->device transfer
-    import jax.numpy as jnp
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    n_chips = jax.device_count()
 
-    # warmup (compile)
-    for _ in range(3):
-        loss = trainer.train_step(batch)
-    jax.block_until_ready(trainer.model.variables)
-
-    n_steps = 20
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
+    for _ in range(3):  # compile + warm
         trainer.train_step(batch)
     jax.block_until_ready(trainer.model.variables)
-    dt_single = time.perf_counter() - t0
-
-    # multi-step lane: K steps per XLA call (lax.scan over stacked
-    # batches) — amortizes per-call dispatch/tunnel latency; this is the
-    # supported steady-state training mode (Trainer.steps_per_call).
-    # Wrapped so a compile hiccup can never cost the headline number.
-    n_chips = jax.device_count()
-    single = batch_size * n_steps / dt_single / n_chips
-    multi = None
-    try:
-        k = 10
-        trainer.steps_per_call = k
-        trainer._step_fn = None  # rebuild step fns with the multi lane
-        trainer._ensure_ready(batch)
-        batches = [batch] * k
-        trainer.train_steps(batches)  # compile
-        jax.block_until_ready(trainer.model.variables)
-        n_calls = 4
+    n = 20
+    wall = []
+    for _ in range(n):
         t0 = time.perf_counter()
-        for _ in range(n_calls):
-            trainer.train_steps(batches)
+        trainer.train_step(batch)
         jax.block_until_ready(trainer.model.variables)
-        dt_multi = time.perf_counter() - t0
-        multi = batch_size * k * n_calls / dt_multi / n_chips
-    except Exception as exc:  # noqa: BLE001
-        print(f'multi-step lane skipped: {exc!r}', file=sys.stderr)
+        wall.append(time.perf_counter() - t0)
+    results['train_single_clips_per_s_chip'] = round(
+        BATCH_SIZE / float(np.median(wall)) / n_chips, 2)
+    results['train_step_wall_ms'] = {
+        'median': round(1e3 * float(np.median(wall)), 3),
+        'min': round(1e3 * float(np.min(wall)), 3),
+    }
 
-    clips_per_sec_per_chip = max(single, multi or 0.)
+    # XLA-reported per-step FLOPs -> achieved TFLOP/s at the best step
+    try:
+        lowered = trainer._step_fn.lower(
+            trainer.model.variables, trainer.opt_state, batch,
+            jnp.asarray(trainer._device_step_state[0]),
+            jnp.asarray(0, jnp.int32), jnp.asarray(1., jnp.float32))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get('flops', 0.))
+        if flops > 0:
+            results['train_step_gflops'] = round(flops / 1e9, 2)
+            results['achieved_tflops_best'] = round(
+                flops / float(np.min(wall)) / 1e12, 2)
+    except Exception as exc:  # noqa: BLE001 — evidence lane, best effort
+        print(f'cost_analysis unavailable: {exc!r}', file=sys.stderr)
+
+    # multi-step lanes: dispatch amortized over K steps per XLA call
+    for k in (10, 50):
+        try:
+            trainer.steps_per_call = k
+            trainer._step_fn = None
+            trainer._ensure_ready(batch)
+            batches = [batch] * k
+            trainer.train_steps(batches)  # compile
+            jax.block_until_ready(trainer.model.variables)
+            n_calls = 3
+            dt = _timed(lambda: trainer.train_steps(batches), n_calls)
+            jax.block_until_ready(trainer.model.variables)
+            per_step = dt / (n_calls * k)
+            results[f'train_multi_k{k}_clips_per_s_chip'] = round(
+                BATCH_SIZE / per_step / n_chips, 2)
+            results[f'train_multi_k{k}_wall_ms_per_step'] = round(
+                1e3 * per_step, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f'multi-step k={k} skipped: {exc!r}', file=sys.stderr)
+
+
+def lane_ensemble(results, n_models=10):
+    """10-model ensemble sliding-window SED (pseudo-labeling workload)."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _batch, _flagship_model
+    from pb_sed_tpu.models.base.ensemble import StackedEnsemble
+
+    models = []
+    for i in range(n_models):
+        m = _flagship_model()
+        b = _batch(m, batch_size=2, seconds=SECONDS, seed=i)
+        m.init_variables(b, seed=i)
+        models.append(m)
+    runner = StackedEnsemble(models)
+    batch = _batch(models[0], batch_size=BATCH_SIZE, seconds=SECONDS)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if isinstance(v, np.ndarray)}
+    n_chips = jax.device_count()
+    # tuned scenario-1 window (median of the reference grid) at shift 1
+    kwargs = dict(window_length=31, window_shift=1)
+    runner.sound_event_detection(batch, **kwargs)  # compile
+    n = 10
+    t0 = time.perf_counter()
+    for _ in range(n):
+        y, _ = runner.sound_event_detection(batch, **kwargs)
+    dt = time.perf_counter() - t0
+    results['ensemble10_sed_clips_per_s_chip'] = round(
+        BATCH_SIZE * n / dt / n_chips, 2)
+    results['ensemble10_sed_wall_ms_per_batch'] = round(1e3 * dt / n, 2)
+
+
+def lane_host(results):
+    """End-to-end: host pipeline (decode -> bucket -> collate) included."""
+    import tempfile
+    from pathlib import Path
+
+    import jax
+    sys.path.insert(0, 'tests')
+    from util_synth import build_database
+
+    from pb_sed_tpu.data.provider import DataProvider
+    from pb_sed_tpu.train.trainer import Trainer
+    from __graft_entry__ import _flagship_model
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # synthetic corpus at the flagship STFT geometry
+        _, json_path = build_database(
+            Path(tmp) / 'db', num_train=96, num_weak=32,
+            clip_seconds=4.)
+        config = DataProvider.get_config({
+            'json_path': str(json_path),
+            'train_set': {'train_strong': 1, 'train_weak': 1},
+            'validate_set': 'validation',
+            'min_audio_length': 0.2,
+            'storage_dir': tmp,
+            'train_transform': {
+                'provide_boundary_targets': True,
+            },
+            'train_fetcher': {'batch_size': BATCH_SIZE,
+                              'prefetch_workers': 2,
+                              'drop_incomplete': True},
+            'mix_interval': 2.,
+        })
+        provider = DataProvider.from_config(config)
+        provider.train_transform.label_encoder.initialize_labels(
+            dataset=provider.db.get_dataset(
+                ['train_strong', 'train_weak']))
+        provider.test_transform.label_encoder.initialize_labels()
+        model = _flagship_model_for_events(provider)
+        trainer = Trainer(model, storage_dir=None,
+                          stop_trigger=(10 ** 9, 'iteration'))
+        train_set = provider.get_train_set()
+        # one epoch to compile every palette shape
+        n_warm = 0
+        for batch in train_set:
+            trainer.train_step(batch)
+            n_warm += 1
+        jax.block_until_ready(trainer.model.variables)
+        clips = 0
+        t0 = time.perf_counter()
+        for batch in train_set:
+            trainer.train_step(batch)
+            clips += len(batch['example_id'])
+        jax.block_until_ready(trainer.model.variables)
+        dt = time.perf_counter() - t0
+        n_chips = jax.device_count()
+        results['host_pipeline_clips_per_s_chip'] = round(
+            clips / dt / n_chips, 2)
+        results['host_pipeline_batches'] = n_warm
+
+
+def _flagship_model_for_events(provider):
+    """Flagship model resized to the synthetic DB's class count."""
+    from pb_sed_tpu.models import weak_label
+    from pb_sed_tpu.models.net_configs import fbcrnn_config
+    k = len(provider.train_transform.label_encoder.label_mapping)
+    config = weak_label.CRNN.get_config(fbcrnn_config(
+        net_config='shallow', num_events=k))
+    return weak_label.CRNN.from_config(config)
+
+
+def lane_profile(results):
+    """Capture a profiler trace of 3 train steps next to the result."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _batch, _flagship_model
+    from pb_sed_tpu.train.trainer import Trainer
+    from pathlib import Path
+    logdir = Path('bench_profile')
+    model = _flagship_model()
+    trainer = Trainer(model, storage_dir=None,
+                      stop_trigger=(10 ** 9, 'iteration'))
+    batch = _batch(model, batch_size=BATCH_SIZE, seconds=SECONDS)
+    trainer._ensure_ready(batch)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    for _ in range(2):
+        trainer.train_step(batch)
+    jax.block_until_ready(trainer.model.variables)
+    logdir.mkdir(exist_ok=True)
+    jax.profiler.start_trace(str(logdir))
+    for _ in range(3):
+        trainer.train_step(batch)
+    jax.block_until_ready(trainer.model.variables)
+    jax.profiler.stop_trace()
+    results['profile_trace_dir'] = str(logdir)
+    try:
+        from bench_xplane import device_step_times_ms
+        times = device_step_times_ms(logdir)
+        if times:
+            results['device_ms_per_step_from_trace'] = round(
+                float(np.median(times)), 3)
+    except Exception as exc:  # noqa: BLE001 — best-effort evidence
+        print(f'trace parse skipped: {exc!r}', file=sys.stderr)
+
+
+def lane_pallas(results):
+    """Pallas GRU kernel vs lax.scan on the attached chip (parity +
+    timing; SURVEY §7 flagship kernel)."""
+    import jax
+    import jax.numpy as jnp
+    from pb_sed_tpu.ops.pallas.gru import gru_scan, gru_scan_reference
+    if jax.default_backend() != 'tpu':
+        print('pallas lane skipped: no TPU', file=sys.stderr)
+        return
+    rng = np.random.RandomState(0)
+    d, b, t, h = 2, BATCH_SIZE, 501, 256
+    xw = jnp.asarray(rng.randn(d, b, t, 3 * h).astype(np.float32))
+    w_hh = jnp.asarray(
+        (rng.randn(d, h, 3 * h) / np.sqrt(h)).astype(np.float32))
+    b_hh = jnp.asarray(rng.randn(d, 3 * h).astype(np.float32) * .1)
+    h0 = jnp.zeros((d, b, h), jnp.float32)
+    ref = jax.jit(gru_scan_reference)
+    pal = jax.jit(lambda *a: gru_scan(*a, False))
+    y_ref = ref(xw, w_hh, b_hh, h0)
+    y_pal = pal(xw, w_hh, b_hh, h0)
+    err = float(jnp.max(jnp.abs(y_ref - y_pal)))
+    results['pallas_gru_max_abs_err'] = err
+    assert err < 1e-3, err
+    n = 20
+    dt_ref = _timed(lambda: ref(xw, w_hh, b_hh, h0), n)
+    dt_pal = _timed(lambda: pal(xw, w_hh, b_hh, h0), n)
+    results['pallas_gru_ms'] = round(1e3 * dt_pal / n, 3)
+    results['scan_gru_ms'] = round(1e3 * dt_ref / n, 3)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--lanes', default='train,ensemble,host,profile',
+                        help='comma list: train,ensemble,host,profile,'
+                             'pallas')
+    args = parser.parse_args()
+    lanes = args.lanes.split(',')
+    sys.path.insert(0, '.')
+    results = {}
+    for name, fn in (('train', lane_train), ('ensemble', lane_ensemble),
+                     ('host', lane_host), ('profile', lane_profile),
+                     ('pallas', lane_pallas)):
+        if name not in lanes:
+            continue
+        try:
+            fn(results)
+        except Exception as exc:  # noqa: BLE001 — keep the headline alive
+            print(f'lane {name} failed: {exc!r}', file=sys.stderr)
+            results[f'{name}_error'] = repr(exc)
+
+    candidates = [
+        results.get('train_single_clips_per_s_chip'),
+        results.get('train_multi_k10_clips_per_s_chip'),
+        results.get('train_multi_k50_clips_per_s_chip'),
+    ]
+    headline = max([c for c in candidates if c] or [0.])
     print(json.dumps({
         'metric': 'FBCRNN train clips/sec/chip (10s DESED clips, bs=32, '
                   'full device pipeline)',
-        'value': round(clips_per_sec_per_chip, 2),
+        'value': headline,
         'unit': 'clips/s/chip',
-        'vs_baseline': round(
-            clips_per_sec_per_chip / A100_BASELINE_CLIPS_PER_SEC, 3),
-        'single_step_lane': round(single, 2),
-        'multi_step_lane_k10': round(multi, 2) if multi else None,
+        'vs_baseline': round(headline / A100_BASELINE_CLIPS_PER_SEC, 3),
+        **results,
     }))
 
 

@@ -9,6 +9,25 @@ TPU-first: Collate pads every batch to its bucket's palette length
 (frames) and pads the waveform to exactly the sample count that yields
 that many STFT frames (``STFT.num_samples_for_frames``), so each palette
 length maps to ONE compiled XLA program.
+
+Multi-host sharding (``num_shards > 1``; SURVEY.md §2.4/§7 "hard part"):
+``batch_size`` is the GLOBAL batch size. Two shard levels:
+
+- ``shard_level='batch'`` (default, exact): every host runs the identical
+  bucketing with the global batch size and the FULL
+  ``min_dataset_examples_in_batch`` / ``min_label_diversity_in_batch``
+  quotas — so the reference's per-batch composition contract holds for
+  the GLOBAL batch — then takes its interleaved slice of each assembled
+  batch. All hosts see the same palette length per step (the pad length
+  is computed from the global batch BEFORE slicing). Requires identically
+  seeded upstream pipelines across hosts.
+- ``shard_level='example'`` (approximate, decode-sharded): each host
+  buckets only every ``num_shards``-th example with ``batch_size /
+  num_shards`` and deterministically split per-shard quotas
+  (``quota // n + (i < quota % n)``); the global batch then satisfies the
+  dataset quotas exactly and the label diversity up to
+  ``min(diversity, local_batch)``. Use for decode-bound corpora
+  (AudioSet) where n-fold duplicate decoding is unacceptable.
 """
 import dataclasses
 
@@ -27,6 +46,7 @@ class Collate:
     """List of example dicts -> batch dict of stacked padded arrays."""
     pad_frames_to: int = None          # palette length (None: batch max)
     frames_to_samples: object = None   # callable T -> S (from STFT geometry)
+    pad_samples_to: int = None         # waveform pad (None: derive)
 
     def __call__(self, examples):
         assert len(examples) > 0
@@ -34,7 +54,9 @@ class Collate:
         keys = examples[0].keys()
         max_frames = max(ex['seq_len'] for ex in examples)
         t_pad = self.pad_frames_to or max_frames
-        if callable(self.frames_to_samples):
+        if self.pad_samples_to is not None:
+            s_pad = self.pad_samples_to
+        elif callable(self.frames_to_samples):
             s_pad = int(self.frames_to_samples(t_pad))
         else:
             s_pad = max(
@@ -74,13 +96,19 @@ def _pad_last(arr, target):
     return np.pad(arr, width)
 
 
+def split_quota(quota, num_shards, shard_index):
+    """Deterministic per-shard share of a global per-batch quota:
+    shards 0..(quota % n - 1) take the remainder."""
+    return quota // num_shards + int(shard_index < quota % num_shards)
+
+
 @dataclasses.dataclass
 class DataFetcher(Configurable):
     """Batching policy (reference ``DataFetcher`` surface + palette knobs)."""
     prefetch_workers: int = 2
     global_shuffle: bool = False
     local_shuffle_buffer_size: int = 0
-    batch_size: int = None
+    batch_size: int = None             # GLOBAL batch size
     max_padding_rate: float = 0.1
     pad_to_multiple: int = 64
     min_label_diversity_in_batch: int = 0
@@ -91,12 +119,11 @@ class DataFetcher(Configurable):
     # multi-host sharding: None = infer from jax.process_index/count
     num_shards: int = None
     shard_index: int = None
+    shard_level: str = 'batch'         # 'batch' (exact) | 'example'
     # wired by the provider: STFT geometry config for exact waveform padding
     stft: dict = None
 
-    def __call__(self, dataset, batched_input=False):
-        assert self.batch_size is None or self.batch_size >= 1, \
-            f'batch_size must be >= 1, got {self.batch_size}'
+    def _shard_plan(self):
         num_shards, shard_index = self.num_shards, self.shard_index
         if num_shards is None:
             try:
@@ -104,11 +131,23 @@ class DataFetcher(Configurable):
                 num_shards = jax.process_count()
                 shard_index = jax.process_index()
             except Exception:
-                num_shards = 1
-                shard_index = 0
-        if num_shards > 1:
-            from pb_sed_tpu.data.lazy import ShardDataset
-            dataset = ShardDataset(dataset, num_shards, shard_index or 0)
+                num_shards, shard_index = 1, 0
+        return num_shards, (shard_index or 0)
+
+    def __call__(self, dataset, batched_input=False):
+        assert self.batch_size is None or self.batch_size >= 1, \
+            f'batch_size must be >= 1, got {self.batch_size}'
+        assert self.shard_level in ('batch', 'example'), self.shard_level
+        num_shards, shard_index = self._shard_plan()
+        sharded_examples = (
+            num_shards > 1 and (self.shard_level == 'example'
+                                or self.batch_size is None))
+        if sharded_examples:
+            # hash-of-id membership: positional round-robin can alias
+            # with the proportional source interleave and starve a shard
+            # of an entire source dataset
+            from pb_sed_tpu.data.lazy import HashShardDataset
+            dataset = HashShardDataset(dataset, num_shards, shard_index)
         if self.global_shuffle:
             dataset = dataset.shuffle(reshuffle=True)
         if self.prefetch_workers > 0:
@@ -119,39 +158,91 @@ class DataFetcher(Configurable):
         if self.local_shuffle_buffer_size > 0 and not self.global_shuffle:
             dataset = dataset.shuffle(
                 buffer_size=self.local_shuffle_buffer_size)
-        if self.batch_size is not None:
-            bucketer = DynamicBucketDataset(
-                dataset, DynamicTimeSeriesBucket,
-                batch_size=self.batch_size,
-                len_key='seq_len',
-                max_padding_rate=self.max_padding_rate,
-                pad_to_multiple=self.pad_to_multiple,
-                min_label_diversity=self.min_label_diversity_in_batch,
-                label_key='weak_targets',
-                min_dataset_examples=self.min_dataset_examples_in_batch,
-                expiration=self.bucket_expiration,
-                max_buffered_examples=self.max_bucket_buffer_size,
-                drop_incomplete=self.drop_incomplete,
-                sort_key='seq_len', reverse_sort=True,
-            )
-            multiple = self.pad_to_multiple
-            frames_to_samples = None
-            if self.stft is not None:
-                from pb_sed_tpu.ops.stft import STFT
-                if isinstance(self.stft, STFT):
-                    geometry = self.stft
-                else:
-                    cfg = {k: v for k, v in dict(self.stft).items()
-                           if k != 'factory'}
-                    geometry = STFT(**cfg)
-                frames_to_samples = geometry.num_samples_for_frames
+        if self.batch_size is None:
+            return dataset
+        if sharded_examples:
+            assert self.batch_size % num_shards == 0, (
+                self.batch_size, num_shards)
+            batch_size = self.batch_size // num_shards
+            quotas = {
+                name: split_quota(quota, num_shards, shard_index)
+                for name, quota in
+                (self.min_dataset_examples_in_batch or {}).items()
+            }
+            diversity = min(self.min_label_diversity_in_batch, batch_size)
+        else:
+            batch_size = self.batch_size
+            quotas = self.min_dataset_examples_in_batch
+            diversity = self.min_label_diversity_in_batch
+        bucketer = DynamicBucketDataset(
+            dataset, DynamicTimeSeriesBucket,
+            batch_size=batch_size,
+            len_key='seq_len',
+            max_padding_rate=self.max_padding_rate,
+            pad_to_multiple=self.pad_to_multiple,
+            min_label_diversity=diversity,
+            label_key='weak_targets',
+            min_dataset_examples=quotas,
+            expiration=self.bucket_expiration,
+            max_buffered_examples=self.max_bucket_buffer_size,
+            drop_incomplete=self.drop_incomplete,
+            sort_key='seq_len', reverse_sort=True,
+        )
+        multiple = self.pad_to_multiple
+        frames_to_samples = None
+        if self.stft is not None:
+            from pb_sed_tpu.ops.stft import STFT
+            if isinstance(self.stft, STFT):
+                geometry = self.stft
+            else:
+                cfg = {k: v for k, v in dict(self.stft).items()
+                       if k != 'factory'}
+                geometry = STFT(**cfg)
+            frames_to_samples = geometry.num_samples_for_frames
 
-            def collate(batch):
-                t_pad = -(-max(ex['seq_len'] for ex in batch)
-                          // multiple) * multiple
-                return Collate(
-                    pad_frames_to=t_pad,
-                    frames_to_samples=frames_to_samples)(batch)
+        take_global_slice = num_shards > 1 and not sharded_examples
 
-            dataset = bucketer.map(collate).prefetch(1, 4)
-        return dataset
+        def collate(batch):
+            # palette length + waveform pad from the FULL batch (before
+            # any shard slicing) so every host compiles the same shapes
+            t_pad = -(-max(ex['seq_len'] for ex in batch)
+                      // multiple) * multiple
+            if frames_to_samples is not None:
+                s_pad = int(frames_to_samples(t_pad))
+            else:
+                s_pad = max(np.shape(ex.get('audio_data', []))[-1]
+                            for ex in batch)
+            if take_global_slice:
+                local = batch[shard_index::num_shards]
+                local = local[:len(batch) // num_shards]
+                if not local:  # undersized leftover batch
+                    return None
+                batch = local
+            return Collate(
+                pad_frames_to=t_pad, frames_to_samples=frames_to_samples,
+                pad_samples_to=s_pad)(batch)
+
+        batched = bucketer.map(collate)
+        if take_global_slice:
+            batched = _DropNone(batched)
+        return batched.prefetch(1, 4)
+
+
+class _DropNone:
+    """Streaming skip of ``None`` items (undersized leftover batches in
+    global-slice shard mode)."""
+
+    def __init__(self, parent):
+        self.parent = parent
+
+    def __iter__(self):
+        for item in self.parent:
+            if item is not None:
+                yield item
+
+    def __len__(self):
+        return len(self.parent)
+
+    def prefetch(self, num_workers=1, buffer_size=4):
+        from pb_sed_tpu.data.lazy import PrefetchDataset
+        return PrefetchDataset(self, num_workers, buffer_size)

@@ -359,6 +359,36 @@ class UnbatchDataset(Dataset):
             yield from batch
 
 
+class HashShardDataset(Dataset):
+    """Shard membership by stable hash of ``example_id`` instead of
+    stream position: positional round-robin can alias with the
+    proportional source interleave and starve a shard of an entire
+    source dataset (breaking per-batch dataset quotas); a content hash
+    decorrelates the two."""
+
+    def __init__(self, parent, num_shards, shard_index):
+        import zlib
+        assert 0 <= shard_index < num_shards, (shard_index, num_shards)
+        self.parent = parent
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self._hash = lambda ex: zlib.crc32(
+            str(ex['example_id']).encode()) % num_shards
+
+    def __iter__(self):
+        for ex in self.parent:
+            if self._hash(ex) == self.shard_index:
+                yield ex
+
+    def __len__(self):
+        # streaming estimate; exact membership is content-dependent
+        return max(1, len(self.parent) // self.num_shards)
+
+    @property
+    def indexable(self):
+        return False
+
+
 class ShardDataset(Dataset):
     """Every ``num_shards``-th example starting at ``shard_index`` — the
     per-host shard of a multi-host input pipeline (each host feeds its

@@ -1,23 +1,28 @@
-"""DataProvider: the single host-side data API.
+"""DataProvider: the host-side data API feeding fixed-shape device batches.
 
-Capability parity with ``pb_sed/data_preparation/provider.py:22-378``:
-``get_train_set()`` / ``get_validate_set()`` / ``get_dataset(name)`` /
-``get_raw(name)`` over a JsonDatabase; pipeline raw json -> filters
-(labelless / too-short / excluded ids) -> audio load (+ eager cache) ->
-per-dataset repeats + reshuffle + proportional interleave -> per-class
-rebalancing (min examples per class per epoch) -> scale augmentation +
-mixture augmentation -> (segmentation) -> Transform -> DataFetcher.
+Capability parity with ``pb_sed/data_preparation/provider.py:22-378``
+(``get_train_set`` / ``get_validate_set`` / ``get_dataset`` / ``get_raw``
+over a JsonDatabase, with example filtering, eager caching, per-dataset
+repeats, per-class rebalancing, scale/mixture augmentation, transform and
+batching) — organised TPU-first rather than as a port:
 
-The dogmatic defaults mirror the reference's
-(``provider.py:302-378``): 16 kHz max-normalized mono audio, STFT
-shift 320 / win 960 / size 1024 'half' fading, events label encoder,
-U(0.4,0.6)/U(-0.1,0.1) time-warp anchors, LogTruncatedNormal(ln 3) scale
-augmentation, SuperposeEvents mixing with full overlap and window-length
-fades.
+- The training stream is assembled from an explicit **epoch plan**
+  (:class:`EpochPlan`): every source contributes an index stream — its
+  surviving example indices, replicated per the ``train_set`` repeat spec
+  and per-example rebalancing repeats from :func:`rebalance_repeats` — and
+  the streams are reshuffled every epoch and proportionally interleaved. The
+  plan is pure data (index arrays over the raw datasets), which keeps the
+  composition deterministic and host-splittable.
+- Downstream, planned examples flow through scale/mixture augmentation
+  into the ``Transform`` (target encoding; the STFT itself runs on
+  device) and the palette bucketer (``DataFetcher``), which emits a small
+  set of fixed padded shapes — one compiled XLA program per palette
+  entry. Multi-host sharding happens inside the fetcher
+  (``num_shards`` / ``shard_index``) AFTER the bucketing policy is fixed,
+  so every host draws from the same palette.
 """
 import dataclasses
 import math
-from collections import defaultdict
 from typing import Callable
 
 import numpy as np
@@ -33,6 +38,101 @@ from pb_sed_tpu.ops.stft import STFT
 from pb_sed_tpu.utils.config import Configurable
 from pb_sed_tpu.utils.misc import to_list
 from pb_sed_tpu.utils.random import LogTruncatedNormal, Uniform
+
+
+def example_labels(dataset, label_key):
+    """Sorted unique labels per example: [[label, ...], ...]."""
+    return [
+        sorted(set(to_list(example.get(label_key) or [])))
+        for example in dataset
+    ]
+
+
+def rebalance_repeats(labels_per_example, *, source_weight=1,
+                      counts=None, min_counts=None):
+    """Per-example repeat counts so every class reaches a minimum number
+    of occurrences per epoch.
+
+    Semantics follow the reference contract
+    (``provider.py:217-279``): given per-class occurrence counts over the
+    whole (already repeat-weighted) training set, a float ``min_counts``
+    is a fraction of the most frequent class; a base repetition factor
+    blows the epoch up just enough that the requested minimum stays below
+    the (unrepeated) maximum, then each example is repeated by the
+    largest per-label factor among its labels.
+
+    Args:
+        labels_per_example: [[label, ...], ...] for ONE source.
+        source_weight: the source's repeat factor in the epoch spec.
+        counts: {label: count} over ALL sources (weighted); computed from
+            ``labels_per_example`` alone when None.
+        min_counts: int (absolute) or float in (0, 1) (fraction of the
+            max class count).
+
+    Returns: (repeats (N,) int array for this source, label_repetitions).
+    """
+    if counts is None:
+        counts = {}
+        for labels in labels_per_example:
+            for label in labels:
+                counts[label] = counts.get(label, 0) + source_weight
+    peak = max(counts.values())
+    if isinstance(min_counts, float):
+        assert 0. < min_counts < 1., min_counts
+        min_counts = math.ceil(peak * min_counts)
+    assert isinstance(min_counts, int) and min_counts > 1, min_counts
+    assert min_counts - 1 <= 0.9 * peak, (min_counts, peak)
+    base = int(1 // (1 - (min_counts - 1) / peak))
+    target = min_counts * base
+    label_reps = {
+        label: math.ceil(target / count) for label, count in counts.items()
+    }
+    reps = np.array([
+        max((label_reps[label] for label in labels), default=1)
+        for labels in labels_per_example
+    ], dtype=np.int64)
+    return reps, label_reps
+
+
+@dataclasses.dataclass
+class EpochPlan:
+    """Index-level composition of one training epoch.
+
+    ``streams`` is a list of (dataset, tile_factor) pairs; iterating the
+    plan reshuffles each stream and interleaves them proportionally to
+    their lengths (round-robin by progress), the reference's
+    tile + intersperse contract expressed over explicit index groups.
+    """
+    streams: list
+
+    @classmethod
+    def build(cls, sources, repeats_per_source=None):
+        """Args:
+            sources: [(dataset, tile_factor), ...].
+            repeats_per_source: optional per-source (N,) per-example
+                repeat arrays (from :func:`rebalance_repeats`); examples
+                with equal repeat count form one tiled index group, so a
+                plan stays a small list of (indexable view, tiles).
+        """
+        streams = []
+        for i, (dataset, tiles) in enumerate(sources):
+            reps = None if repeats_per_source is None \
+                else repeats_per_source[i]
+            if reps is None:
+                streams.append((dataset, tiles))
+                continue
+            for factor in np.unique(reps):
+                members = np.flatnonzero(reps == factor).tolist()
+                streams.append((dataset[members], int(factor) * tiles))
+        return cls(streams)
+
+    def materialize(self, shuffle):
+        parts = []
+        for dataset, tiles in self.streams:
+            if shuffle:
+                dataset = dataset.shuffle(reshuffle=True)
+            parts.append(dataset.tile(tiles))
+        return lazy.intersperse(*parts)
 
 
 @dataclasses.dataclass
@@ -59,11 +159,11 @@ class DataProvider(Configurable):
     mix_fn: Callable = None
 
     def __post_init__(self):
-        assert self.json_path is not None
+        assert self.json_path is not None, 'json_path required'
         self.db = JsonDatabase(json_path=self.json_path)
 
     # ------------------------------------------------------------------
-    # public API
+    # public API (reference surface)
     # ------------------------------------------------------------------
     def get_train_set(self, filter_example_ids=None):
         return self.get_dataset(self.train_set, train=True,
@@ -77,293 +177,244 @@ class DataProvider(Configurable):
 
     def get_dataset(self, names_or_datasets, train=False,
                     filter_example_ids=None):
-        ds = self.prepare_audio(names_or_datasets, train=train,
-                                filter_example_ids=filter_example_ids)
-        return self.segment_transform_and_fetch(ds, train=train)
-
-    # ------------------------------------------------------------------
-    # audio preparation
-    # ------------------------------------------------------------------
-    def prepare_audio(self, names_or_datasets, train=False,
-                      filter_example_ids=None):
-        loaded = self._load_audio(names_or_datasets, train=train,
-                                  filter_example_ids=filter_example_ids)
-        if not isinstance(loaded, list):
-            loaded = [(loaded, 1)]
-        dataset = self._tile_and_intersperse(loaded, shuffle=train)
-        if train and self.min_class_examples_per_epoch:
-            raw = self.get_raw(
-                names_or_datasets,
-                discard_labelless_examples=(
-                    self.discard_labelless_train_examples),
-                filter_example_ids=filter_example_ids)
-            if not isinstance(raw, list):
-                raw = [(raw, 1)]
-            label_counts, labels = self._count_labels(raw, self.label_key)
-            label_reps = self._compute_label_repetitions(
-                label_counts, min_counts=self.min_class_examples_per_epoch)
-            groups = self._build_repetition_groups(
-                loaded, labels, label_reps)
-            dataset = self._tile_and_intersperse(groups, shuffle=train)
-        if train:
-            dataset = self.scale_and_mix(dataset, dataset)
-        print('Total data set length:', len(dataset))
-        return dataset
-
-    def _load_audio(self, names_or_datasets, train=False,
-                    filter_example_ids=None, idx=None):
-        if isinstance(names_or_datasets, (dict, list, tuple)):
-            items = (list(names_or_datasets.items())
-                     if isinstance(names_or_datasets, dict)
-                     else [x if isinstance(x, (list, tuple)) else (x, 1)
-                           for x in names_or_datasets])
-            out = []
-            for i, (name_or_ds, reps) in enumerate(items):
-                if reps == 0:
-                    continue
-                out.append((
-                    self._load_audio(
-                        name_or_ds, train=train,
-                        filter_example_ids=filter_example_ids, idx=i),
-                    reps,
-                ))
-            return out
-        ds = self.get_raw(
-            names_or_datasets,
-            discard_labelless_examples=(
-                train and self.discard_labelless_train_examples),
-            filter_example_ids=filter_example_ids,
-        ).map(self.audio_reader)
-        if (self.cached_datasets is not None
-                and isinstance(names_or_datasets, str)
-                and names_or_datasets in self.cached_datasets):
-            ds = ds.cache(lazy=False)
-        name = f' {names_or_datasets}' if isinstance(
-            names_or_datasets, str) else ''
-        print(f'Single data set length{name}:', len(ds))
-        return ds
+        audio = self.prepare_audio(
+            names_or_datasets, train=train,
+            filter_example_ids=filter_example_ids)
+        return self.segment_transform_and_fetch(audio, train=train)
 
     def get_raw(self, names_or_datasets, discard_labelless_examples=False,
                 filter_example_ids=None):
-        if isinstance(names_or_datasets, (dict, list, tuple)):
-            items = (list(names_or_datasets.items())
-                     if isinstance(names_or_datasets, dict)
-                     else [x if isinstance(x, (list, tuple)) else (x, 1)
-                           for x in names_or_datasets])
-            items = [x for x in items if x[1] > 0]
+        """One filtered raw Dataset (str/Dataset input) or a list of
+        (Dataset, repeats) (dict/list input) — the reference's polymorphic
+        raw accessor."""
+        spec = self._source_spec(names_or_datasets)
+        if spec is not None:
             return [
                 (self.get_raw(
-                    name_or_ds,
-                    discard_labelless_examples=discard_labelless_examples,
-                    filter_example_ids=filter_example_ids), reps)
-                for name_or_ds, reps in items
+                    source, discard_labelless_examples,
+                    filter_example_ids), tiles)
+                for source, tiles in spec
             ]
-        if isinstance(names_or_datasets, str):
-            ds = self.db.get_dataset(names_or_datasets)
+        dataset = (self.db.get_dataset(names_or_datasets)
+                   if isinstance(names_or_datasets, str)
+                   else names_or_datasets)
+        keep = self._example_filter(
+            discard_labelless_examples, filter_example_ids)
+        return dataset.filter(keep, lazy=False)
+
+    # ------------------------------------------------------------------
+    # plan construction
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _source_spec(names_or_datasets):
+        """dict/list input -> [(name_or_dataset, tiles), ...] with zero-
+        repeat sources dropped; None for a single-source input."""
+        if isinstance(names_or_datasets, dict):
+            items = list(names_or_datasets.items())
+        elif isinstance(names_or_datasets, (list, tuple)):
+            items = [x if isinstance(x, (list, tuple)) else (x, 1)
+                     for x in names_or_datasets]
         else:
-            ds = names_or_datasets
-        if discard_labelless_examples:
-            ds = ds.filter(
-                lambda ex: self.label_key in ex and ex[self.label_key],
-                lazy=False)
-        if filter_example_ids is not None:
-            ds = ds.filter(
-                lambda ex: ex['example_id'] not in filter_example_ids,
-                lazy=False)
-        return ds.filter(
-            lambda ex: ('audio_length' in ex
-                        and ex['audio_length'] > self.min_audio_length),
-            lazy=False)
+            return None
+        return [(source, tiles) for source, tiles in items if tiles > 0]
 
-    @staticmethod
-    def _tile_and_intersperse(datasets, shuffle=False):
-        if shuffle:
-            datasets = [(ds.shuffle(reshuffle=True), reps)
-                        for ds, reps in datasets]
-        return lazy.intersperse(*[ds.tile(reps) for ds, reps in datasets])
+    def _example_filter(self, discard_labelless, filter_example_ids):
+        label_key = self.label_key
+        min_length = self.min_audio_length
+        excluded = (None if filter_example_ids is None
+                    else set(filter_example_ids))
 
-    def scale_and_mix(self, dataset, mixin_dataset=None):
-        if mixin_dataset is None:
-            mixin_dataset = dataset
+        def keep(example):
+            if discard_labelless and not example.get(label_key):
+                return False
+            if excluded is not None and example['example_id'] in excluded:
+                return False
+            return example.get('audio_length', 0) > min_length
+
+        return keep
+
+    def _audio_source(self, name_or_dataset, train, filter_example_ids):
+        """Raw -> decoded-audio dataset (+ optional eager cache)."""
+        raw = self.get_raw(
+            name_or_dataset,
+            discard_labelless_examples=(
+                train and self.discard_labelless_train_examples),
+            filter_example_ids=filter_example_ids,
+        )
+        decoded = raw.map(self.audio_reader)
+        if isinstance(name_or_dataset, str):
+            if name_or_dataset in (self.cached_datasets or ()):
+                decoded = decoded.cache(lazy=False)
+            print(f'Single data set length {name_or_dataset}:',
+                  len(decoded))
+        else:
+            print('Single data set length:', len(decoded))
+        return decoded
+
+    def _train_plan(self, spec, filter_example_ids):
+        """Epoch plan over the train sources: audio sources + per-example
+        rebalancing repeats (when ``min_class_examples_per_epoch``)."""
+        sources = [
+            (self._audio_source(source, True, filter_example_ids), tiles)
+            for source, tiles in spec
+        ]
+        if not self.min_class_examples_per_epoch:
+            return EpochPlan.build(sources)
+        # class occurrence counts over the whole weighted epoch
+        raw = [
+            (self.get_raw(
+                source,
+                discard_labelless_examples=(
+                    self.discard_labelless_train_examples),
+                filter_example_ids=filter_example_ids), tiles)
+            for source, tiles in spec
+        ]
+        per_source_labels = [
+            example_labels(ds, self.label_key) for ds, _ in raw]
+        counts = {}
+        for labels_list, (_, tiles) in zip(per_source_labels, raw):
+            for labels in labels_list:
+                for label in labels:
+                    counts[label] = counts.get(label, 0) + tiles
+        repeats = [
+            rebalance_repeats(
+                labels_list, counts=counts,
+                min_counts=self.min_class_examples_per_epoch)[0]
+            for labels_list in per_source_labels
+        ]
+        return EpochPlan.build(sources, repeats_per_source=repeats)
+
+    def prepare_audio(self, names_or_datasets, train=False,
+                      filter_example_ids=None):
+        """Decoded, (re)balanced, interleaved and augmented audio stream."""
+        spec = self._source_spec(names_or_datasets)
+        if spec is None:
+            spec = [(names_or_datasets, 1)]
+        if train:
+            plan = self._train_plan(spec, filter_example_ids)
+            stream = plan.materialize(shuffle=True)
+            stream = self._augment(stream)
+        else:
+            plan = EpochPlan.build([
+                (self._audio_source(source, False, filter_example_ids),
+                 tiles)
+                for source, tiles in spec
+            ])
+            stream = plan.materialize(shuffle=False)
+        print('Total data set length:', len(stream))
+        return stream
+
+    # ------------------------------------------------------------------
+    # augmentation
+    # ------------------------------------------------------------------
+    def _augment(self, stream):
+        """Random gain + every-``mix_interval``-th superposition mixing
+        (the mixin stream is the scaled stream itself, reference
+        ``scale_and_mix``)."""
         if self.scale_sampling_fn is not None:
-            scale_fn = self.scale_sampling_fn
+            draw_scale = self.scale_sampling_fn
 
-            def scale(example):
-                example = dict(example)
-                example['audio_data'] = example['audio_data'] * float(
-                    scale_fn())
-                return example
+            def apply_gain(example):
+                out = dict(example)
+                out['audio_data'] = out['audio_data'] * float(draw_scale())
+                return out
 
-            dataset = dataset.map(scale)
-            mixin_dataset = mixin_dataset.map(scale)
+            stream = stream.map(apply_gain)
         if self.mix_interval is not None:
-            assert self.mix_fn is not None
-            dataset = MixtureDataset(
-                dataset, mixin_dataset, mix_interval=self.mix_interval,
+            assert self.mix_fn is not None, 'mix_interval without mix_fn'
+            stream = MixtureDataset(
+                stream, stream, mix_interval=self.mix_interval,
                 mix_fn=self.mix_fn)
-        return dataset
+        return stream
 
     # ------------------------------------------------------------------
-    # label rebalancing (reference provider.py:217-279)
-    # ------------------------------------------------------------------
-    def _count_labels(self, raw_datasets, label_key, label_counts=None,
-                      reps=1):
-        if label_counts is None:
-            label_counts = defaultdict(int)
-        if isinstance(raw_datasets, list):
-            labels = []
-            for ds, ds_reps in raw_datasets:
-                label_counts, cur = self._count_labels(
-                    ds, label_key, label_counts, reps=ds_reps * reps)
-                labels.append(cur)
-            return label_counts, labels
-        labels = []
-        for example in raw_datasets:
-            cur = sorted(set(to_list(example.get(label_key, []))))
-            labels.append(cur)
-            for label in cur:
-                label_counts[label] += reps
-        return label_counts, labels
-
-    @staticmethod
-    def _compute_label_repetitions(label_counts, min_counts):
-        max_count = max(label_counts.values())
-        if isinstance(min_counts, float):
-            assert 0. < min_counts < 1., min_counts
-            min_counts = math.ceil(max_count * min_counts)
-        assert isinstance(min_counts, int) and min_counts > 1, min_counts
-        assert min_counts - 1 <= 0.9 * max_count, (min_counts, max_count)
-        base_rep = int(1 // (1 - (min_counts - 1) / max_count))
-        min_counts *= base_rep
-        return {
-            label: math.ceil(min_counts / count)
-            for label, count in label_counts.items()
-        }
-
-    def _build_repetition_groups(self, dataset, labels, label_repetitions):
-        assert len(dataset) == len(labels), (len(dataset), len(labels))
-        if isinstance(dataset, list):
-            return [
-                (group_ds, ds_reps * group_reps)
-                for (ds, ds_reps), cur_labels in zip(dataset, labels)
-                for group_ds, group_reps in self._build_repetition_groups(
-                    ds, cur_labels, label_repetitions)
-            ]
-        idx_reps = [
-            max([label_repetitions[lb] for lb in idx_labels], default=1)
-            for idx_labels in labels
-        ]
-        groups = defaultdict(list)
-        for i, n_reps in enumerate(idx_reps):
-            groups[n_reps].append(i)
-        return [
-            (dataset[sorted(indices)], n_reps)
-            for n_reps, indices in sorted(groups.items())
-        ]
-
+    # transform + fetch
     # ------------------------------------------------------------------
     def segment_transform_and_fetch(self, dataset, segment=True,
                                     transform=True, fetch=True,
                                     train=False):
         segmenter = self.train_segmenter if train else self.test_segmenter
-        segment = segment and segmenter is not None
-        if segment:
+        segmented = segment and segmenter is not None
+        if segmented:
             dataset = dataset.map(segmenter)
         if transform:
             transform_fn = (self.train_transform if train
                             else self.test_transform)
-            assert transform_fn is not None
-            if segment:
-                dataset = dataset.batch_map(transform_fn)
-            else:
-                dataset = dataset.map(transform_fn)
+            assert transform_fn is not None, 'transform required'
+            dataset = (dataset.batch_map(transform_fn) if segmented
+                       else dataset.map(transform_fn))
         if fetch:
             fetcher = self.train_fetcher if train else self.test_fetcher
-            assert fetcher is not None
-            dataset = fetcher(dataset, batched_input=segment)
+            assert fetcher is not None, 'fetcher required'
+            dataset = fetcher(dataset, batched_input=segmented)
         return dataset
 
     # ------------------------------------------------------------------
+    # dogmatic defaults (reference provider.py:302-378 contract)
+    # ------------------------------------------------------------------
     @classmethod
     def finalize_dogmatic_config(cls, config):
-        config['audio_reader'] = {
-            'factory': AudioReader,
-            'source_sample_rate': None,
-            'target_sample_rate': 16000,
-            'average_channels': True,
-            'normalization_domain': 'instance',
-            'normalization_type': 'max',
-            'alignment_keys': ['events'],
-        }
-        config['train_transform'] = {
-            'factory': Transform,
-            'stft': {
-                'factory': STFT,
-                'shift': 320,
-                'window_length': 960,
-                'size': 1024,
-                'fading': 'half',
-                'pad': True,
-            },
-            'label_encoder': {
-                'factory': MultiHotAlignmentEncoder,
-                'label_key': 'events',
-                'storage_dir': config['storage_dir'],
-            },
-            'anchor_sampling_fn': {
-                'factory': Uniform, 'low': 0.4, 'high': 0.6,
-            },
-            'anchor_shift_sampling_fn': {
-                'factory': Uniform, 'low': -0.1, 'high': 0.1,
-            },
-        }
-        config['test_transform'] = {
-            'factory': Transform,
-            'stft': config['train_transform']['stft'].to_dict(),
-            'label_encoder':
-                config['train_transform']['label_encoder'].to_dict(),
-            'provide_boundary_targets':
-                config['train_transform']['provide_boundary_targets'],
-            'provide_strong_targets':
-                config['train_transform']['provide_strong_targets'],
-        }
-        config['train_fetcher'] = {
-            'factory': DataFetcher,
-            'prefetch_workers': 2,
-            'batch_size': 16,
-            'max_padding_rate': .05,
-            'pad_to_multiple': 64,
-            'max_bucket_buffer_size': 2000,
-            'drop_incomplete': True,
-            'global_shuffle': False,
-            'stft': config['train_transform']['stft'].to_dict(),
-        }
-        config['test_fetcher'] = {
-            'factory': DataFetcher,
-            'prefetch_workers':
-                config['train_fetcher']['prefetch_workers'],
-            'batch_size': 2 * config['train_fetcher']['batch_size'],
-            'max_padding_rate': config['train_fetcher']['max_padding_rate'],
-            'pad_to_multiple': config['train_fetcher']['pad_to_multiple'],
-            'bucket_expiration':
-                config['train_fetcher']['bucket_expiration'],
-            'max_bucket_buffer_size':
-                config['train_fetcher']['max_bucket_buffer_size'],
-            'drop_incomplete': False,
-            'global_shuffle': False,
-            'stft': config['train_transform']['stft'].to_dict(),
-        }
-        config['scale_sampling_fn'] = {
-            'factory': LogTruncatedNormal,
-            'loc': 0.,
-            'scale': 1.,
-            'truncation': float(np.log(3.)),
-        }
+        config['audio_reader'] = dict(
+            factory=AudioReader, source_sample_rate=None,
+            target_sample_rate=16000, average_channels=True,
+            normalization_domain='instance', normalization_type='max',
+            alignment_keys=['events'],
+        )
+        stft_spec = dict(
+            factory=STFT, shift=320, window_length=960, size=1024,
+            fading='half', pad=True,
+        )
+        config['train_transform'] = dict(
+            factory=Transform,
+            stft=stft_spec,
+            label_encoder=dict(
+                factory=MultiHotAlignmentEncoder, label_key='events',
+                storage_dir=config['storage_dir'],
+            ),
+            # time-warp anchors: U(.4,.6) of the clip moved by U(-.1,.1)
+            anchor_sampling_fn=dict(factory=Uniform, low=0.4, high=0.6),
+            anchor_shift_sampling_fn=dict(
+                factory=Uniform, low=-0.1, high=0.1),
+        )
+        config['test_transform'] = dict(
+            factory=Transform,
+            stft=config['train_transform']['stft'].to_dict(),
+            label_encoder=(
+                config['train_transform']['label_encoder'].to_dict()),
+            provide_boundary_targets=(
+                config['train_transform']['provide_boundary_targets']),
+            provide_strong_targets=(
+                config['train_transform']['provide_strong_targets']),
+        )
+        config['train_fetcher'] = dict(
+            factory=DataFetcher, prefetch_workers=2, batch_size=16,
+            max_padding_rate=.05, pad_to_multiple=64,
+            max_bucket_buffer_size=2000, drop_incomplete=True,
+            global_shuffle=False,
+            stft=config['train_transform']['stft'].to_dict(),
+        )
+        train_fetcher = config['train_fetcher']
+        config['test_fetcher'] = dict(
+            factory=DataFetcher,
+            prefetch_workers=train_fetcher['prefetch_workers'],
+            batch_size=2 * train_fetcher['batch_size'],
+            max_padding_rate=train_fetcher['max_padding_rate'],
+            pad_to_multiple=train_fetcher['pad_to_multiple'],
+            bucket_expiration=train_fetcher['bucket_expiration'],
+            max_bucket_buffer_size=(
+                train_fetcher['max_bucket_buffer_size']),
+            drop_incomplete=False, global_shuffle=False,
+            stft=config['train_transform']['stft'].to_dict(),
+        )
+        # gain augmentation: log-truncnormal scale, truncation ln 3
+        config['scale_sampling_fn'] = dict(
+            factory=LogTruncatedNormal, loc=0., scale=1.,
+            truncation=float(np.log(3.)),
+        )
         if config['mix_interval'] is not None:
-            config['mix_fn'] = {
-                'factory': SuperposeEvents,
-                'min_overlap': 1.,
-                'fade_length':
-                    config['train_transform']['stft']['window_length'],
-                'label_key': 'events',
-            }
+            config['mix_fn'] = dict(
+                factory=SuperposeEvents, min_overlap=1.,
+                fade_length=(
+                    config['train_transform']['stft']['window_length']),
+                label_key='events',
+            )

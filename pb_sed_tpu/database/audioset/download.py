@@ -114,6 +114,49 @@ def download_clips(segments, audio_dir, num_workers=4, timeout=60):
     return failed
 
 
+def segments_from_desed_strong_tsv(tsv_path):
+    """Unique clip segments from a DESED ``strong.tsv``
+    (``filename onset offset event_label`` rows whose filenames encode
+    the AudioSet source: ``Y<ytid>_<start>_<end>.wav``)."""
+    seen = {}
+    with Path(tsv_path).open() as fid:
+        header = fid.readline()
+        assert header.startswith('filename'), header
+        for line in fid:
+            filename = line.split('\t', 1)[0]
+            if not filename or filename in seen:
+                continue
+            stem = filename.rsplit('.', 1)[0]
+            ytid_part = stem[1:] if stem.startswith('Y') else stem
+            try:
+                ytid, start, end = ytid_part.rsplit('_', 2)
+                seen[filename] = (stem, ytid, float(start), float(end))
+            except ValueError:
+                continue
+    return list(seen.values())
+
+
+def download_clips_from_tsv(tsv_path, audio_dir, num_workers=4,
+                            timeout=60, missing_files_tsv=None):
+    """Fetch the AudioSet clips referenced by a DESED strong.tsv
+    (reference ``desed.download_audioset_files_from_csv`` equivalent,
+    built on this module's worker pool). Returns the failed clip ids."""
+    segments = segments_from_desed_strong_tsv(tsv_path)
+    audio_dir = Path(audio_dir)
+    todo = [seg for seg in segments
+            if not (audio_dir / f'{seg[0]}.wav').exists()]
+    failed = download_clips(todo, audio_dir, num_workers=num_workers,
+                            timeout=timeout)
+    if missing_files_tsv is not None and failed:
+        missing_files_tsv = Path(missing_files_tsv)
+        missing_files_tsv.parent.mkdir(parents=True, exist_ok=True)
+        with missing_files_tsv.open('w') as fid:
+            fid.write('filename\n')
+            for clip_id in failed:
+                fid.write(f'{clip_id}.wav\n')
+    return failed
+
+
 def read_segments(csv_path):
     segments = []
     with Path(csv_path).open() as fid:

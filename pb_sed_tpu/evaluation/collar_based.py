@@ -7,8 +7,9 @@ the same class has onset within ``onset_collar`` and offset within
 ``max(offset_collar, offset_collar_rate * gt_length)``; unique greedy
 matching; per-class f/p/r + macro/micro averages; optional onset/offset
 distance sums for the bias-correction statistics; per-class best-threshold
-search over the distinct clip score values (quantile-capped grid for large
-score sets).
+search — EXACT over ALL distinct score values by default (change-point
+enumeration, see ``evaluation/changepoints.py``), with an optional
+quantile-capped approximate grid via ``max_thresholds=``.
 """
 import numpy as np
 
@@ -150,14 +151,110 @@ def _counts_job(threshold, scores, ground_truth, classes, onset_collar,
         onset_collar, offset_collar, offset_collar_rate)
 
 
+def _collar_clip_job(item, ground_truth, classes, onset_collar,
+                     offset_collar, offset_collar_rate):
+    """Per-clip exact job: statistic staircase at every change point.
+
+    Returns per class: (levels, stats (U, 4), base (4,), n_ref) with the
+    statistic (tps, n_detections, onset_dist_sum, offset_dist_sum).
+    """
+    from pb_sed_tpu.evaluation.changepoints import level_detections
+    clip_id, arr, timestamps = item
+    gt = ground_truth.get(clip_id, [])
+    out = []
+    for ki, c in enumerate(classes):
+        refs = [(on, off) for on, off, lb in gt if lb == c]
+        levels, detections = level_detections(arr[:, ki], timestamps)
+        rows = []
+        for dets in detections:
+            tps, ond, offd, _ = _match_events(
+                dets, refs, onset_collar, offset_collar,
+                offset_collar_rate)
+            rows.append((tps, len(dets), ond, offd))
+        base, stats = rows[0], rows[1:]
+        out.append((levels, np.asarray(stats, dtype=float).reshape(
+            len(levels), 4), np.asarray(base, dtype=float), len(refs)))
+    return out
+
+
+def _best_fscore_exact(scores, ground_truth, classes, *, onset_collar,
+                       offset_collar, offset_collar_rate, beta,
+                       min_precision, min_recall, num_jobs):
+    """Exact best-F: per-class optimum over ALL score change points
+    (the reference's sed_scores_eval.collar_based.best_fscore
+    semantics)."""
+    from pb_sed_tpu.evaluation.changepoints import (
+        CurveAccumulator, representative_thresholds)
+    from pb_sed_tpu.evaluation.parallel import parallel_map
+    items = []
+    for clip_id in scores:
+        timestamps, _ = validate_score_dataframe(scores[clip_id], classes)
+        items.append(
+            (clip_id, scores[clip_id][classes].to_numpy(), timestamps))
+    contributions = parallel_map(
+        _collar_clip_job, items,
+        (ground_truth, classes, onset_collar, offset_collar,
+         offset_collar_rate),
+        num_jobs=num_jobs)
+    best_f, best_p, best_r, thresholds = {}, {}, {}, {}
+    for ki, c in enumerate(classes):
+        acc = CurveAccumulator(4)
+        n_ref = 0
+        for contrib in contributions:
+            levels, stats, base, clip_n_ref = contrib[ki]
+            acc.add(levels, stats, base)
+            n_ref += clip_n_ref
+        bps, curve = acc.merged()
+        reps = representative_thresholds(bps)
+        tps = curve[:, 0]
+        n_det = curve[:, 1]
+        prec = tps / np.maximum(n_det, 1)
+        rec = tps / max(n_ref, 1)
+        f = ((1 + beta ** 2) * prec * rec
+             / np.maximum(beta ** 2 * prec + rec, 1e-15))
+        valid = (prec >= min_precision) & (rec >= min_recall)
+        if valid.any():
+            fv = np.where(valid, f, -1.)
+            # ties resolved toward the larger threshold (grid-path
+            # behavior: max(..., key=(f, threshold)))
+            idx = np.flatnonzero(fv == fv.max())[-1]
+            best_f[c] = float(f[idx])
+            best_p[c] = float(prec[idx])
+            best_r[c] = float(rec[idx])
+            thresholds[c] = float(reps[idx])
+        else:
+            best_f[c] = best_p[c] = best_r[c] = 0.
+            thresholds[c] = np.inf
+    for d in (best_f, best_p, best_r):
+        d['macro_average'] = float(np.mean([d[c] for c in classes]))
+    stats = _counts_at_threshold(
+        scores, ground_truth, thresholds, classes,
+        onset_collar, offset_collar, offset_collar_rate)
+    return best_f, best_p, best_r, thresholds, stats
+
+
 def best_fscore(scores, ground_truth, *, onset_collar=.2, offset_collar=.2,
                 offset_collar_rate=.2, beta=1., min_precision=0.,
-                min_recall=0., max_thresholds=50, num_jobs=1):
+                min_recall=0., max_thresholds=None, num_jobs=1):
+    """Per-class best F over thresholds.
+
+    Default (``max_thresholds=None``): EXACT enumeration over all
+    distinct score values (change points), matching the reference's
+    sed_scores_eval semantics. Pass ``max_thresholds=N`` for the
+    quantile-capped approximate grid (cheaper on dense score sets).
+    """
     ground_truth = _resolve_ground_truth(ground_truth)
     classes = None
     for clip_id in scores:
         _, classes = validate_score_dataframe(scores[clip_id], classes)
         break
+    if max_thresholds is None:
+        return _best_fscore_exact(
+            scores, ground_truth, classes,
+            onset_collar=onset_collar, offset_collar=offset_collar,
+            offset_collar_rate=offset_collar_rate, beta=beta,
+            min_precision=min_precision, min_recall=min_recall,
+            num_jobs=num_jobs)
     grids = candidate_thresholds(scores, classes, max_thresholds)
     # evaluate the union grid once per threshold; each class picks its best
     union = np.unique(np.concatenate(list(grids.values())))

@@ -22,9 +22,11 @@ Semantics (PSDS, Bilen et al. 2020):
   ``alpha_st`` times the across-class std, up to ``max_efpr``, normalized
   by ``max_efpr``.
 
-Operating points are taken on an explicit threshold grid (default: the 50
-equidistant thresholds of the official psds_eval-compatible approximation;
-pass a denser/exact grid via ``thresholds=``).
+Operating points: by default the EXACT set of all distinct score values
+(change-point enumeration per class, matching sed_scores_eval); an
+explicit grid can be passed via ``thresholds=`` —
+:func:`approximate_psds` uses the official 50-threshold psds_eval-
+compatible approximation.
 """
 import numpy as np
 
@@ -62,6 +64,75 @@ def _counts_job(threshold, scores_arrays, ground_truth, classes,
     return _counts_at_threshold(
         scores_arrays, ground_truth, classes, threshold,
         dtc_threshold, gtc_threshold, cttc_threshold, time_decimals)
+
+
+def _class_counts(dets, gt_by_class, classes, ki, dtc_threshold,
+                  gtc_threshold, cttc_threshold, rnd):
+    """DTC/GTC/CTTC counting for one clip/class detection list.
+
+    Returns (tp, fp, cts_row (k,)).
+    """
+    k = len(classes)
+    c = classes[ki]
+    refs = gt_by_class.get(c, [])
+    valid = []
+    fp = 0
+    cts_row = np.zeros(k)
+    for d_on, d_off in dets:
+        d_on, d_off = rnd(d_on), rnd(d_off)
+        dur = max(d_off - d_on, 1e-12)
+        inter = sum(_intersection(d_on, d_off, r_on, r_off)
+                    for r_on, r_off in refs)
+        if inter / dur >= dtc_threshold:
+            valid.append((d_on, d_off))
+        else:
+            fp += 1
+            if cttc_threshold is not None:
+                for kj, c2 in enumerate(classes):
+                    if c2 == c:
+                        continue
+                    refs2 = gt_by_class.get(c2, [])
+                    inter2 = sum(
+                        _intersection(d_on, d_off, r_on, r_off)
+                        for r_on, r_off in refs2)
+                    if inter2 / dur >= cttc_threshold:
+                        cts_row[kj] += 1
+    tp = 0
+    for r_on, r_off in refs:
+        dur = max(r_off - r_on, 1e-12)
+        if _union_intersection(valid, r_on, r_off) / dur >= gtc_threshold:
+            tp += 1
+    return tp, fp, cts_row
+
+
+def _psds_clip_job(item, ground_truth, classes, dtc_threshold,
+                   gtc_threshold, cttc_threshold, time_decimals):
+    """Per-clip exact job: (tps, fps, cts...) staircase at every change
+    point, per class. Returns per class: (levels, stats (U, 2+k),
+    base (2+k,))."""
+    from pb_sed_tpu.evaluation.changepoints import level_detections
+    clip_id, arr, timestamps = item
+    gt = ground_truth.get(clip_id, [])
+    gt_by_class = {}
+    for on, off, lb in gt:
+        gt_by_class.setdefault(lb, []).append((on, off))
+    rnd = lambda v: round(v, time_decimals)
+    k = len(classes)
+    out = []
+    for ki in range(k):
+        levels, detections = level_detections(arr[:, ki], timestamps)
+        rows = []
+        for dets in detections:
+            tp, fp, cts_row = _class_counts(
+                dets, gt_by_class, classes, ki, dtc_threshold,
+                gtc_threshold, cttc_threshold, rnd)
+            rows.append(np.concatenate(([tp, fp], cts_row)))
+        base, stats = rows[0], rows[1:]
+        out.append((levels,
+                    np.asarray(stats, dtype=float).reshape(
+                        len(levels), 2 + k),
+                    np.asarray(base, dtype=float)))
+    return out
 
 
 def _counts_at_threshold(
@@ -139,6 +210,12 @@ def psds(scores, ground_truth, audio_durations, *, dtc_threshold,
          thresholds=None, num_jobs=1):
     """Returns (psds_value, (efpr_grid, etpr_curve), classwise_rocs).
 
+    Default (``thresholds=None``): EXACT per-class ROCs over ALL distinct
+    score values (change-point enumeration, the reference's
+    sed_scores_eval semantics). Pass an explicit threshold grid for the
+    approximate path (:func:`approximate_psds` uses the official
+    50-threshold grid).
+
     ``classwise_rocs``: {class: (tpr, efpr, thresholds)}.
     """
     from pathlib import Path
@@ -148,9 +225,6 @@ def psds(scores, ground_truth, audio_durations, *, dtc_threshold,
     if isinstance(audio_durations, (str, Path)):
         from pb_sed_tpu.evaluation.scores import read_audio_durations
         audio_durations = read_audio_durations(audio_durations)
-    if thresholds is None:
-        thresholds = DEFAULT_THRESHOLDS
-    thresholds = np.asarray(thresholds, dtype=float)
     classes = None
     scores_arrays = {}
     for clip_id in scores:
@@ -170,32 +244,72 @@ def psds(scores, ground_truth, audio_durations, *, dtc_threshold,
                 t_ref[ki] += (off - on) / unit
     dataset_duration = sum(audio_durations.values()) / unit
 
-    tprs = np.zeros((len(thresholds), k))
-    efprs = np.zeros((len(thresholds), k))
-    from pb_sed_tpu.evaluation.parallel import parallel_map
-    all_counts = parallel_map(
-        _counts_job, [float(t) for t in thresholds],
-        (scores_arrays, ground_truth, classes, dtc_threshold,
-         gtc_threshold, cttc_threshold, time_decimals),
-        num_jobs=num_jobs)
-    for ti, (tps, fps, cts) in enumerate(all_counts):
-        tprs[ti] = tps / np.maximum(n_ref, 1)
+    def efpr_of(fps, cts):
+        """cts: (..., k) cross-trigger counts of this class's invalid
+        detections against every other class."""
         efpr = fps / max(dataset_duration, 1e-12)
         if alpha_ct > 0. and cttc_threshold is not None and k > 1:
-            ctr = cts / np.maximum(t_ref[None, :], 1e-12)
-            np.fill_diagonal(ctr, 0.)
+            ctr = cts / np.maximum(t_ref, 1e-12)
             efpr = efpr + alpha_ct * ctr.sum(-1) / (k - 1)
-        efprs[ti] = efpr
+        return efpr
 
+    from pb_sed_tpu.evaluation.parallel import parallel_map
     classwise_rocs = {}
-    for ki, c in enumerate(classes):
-        order = np.argsort(efprs[:, ki], kind='mergesort')
-        e = efprs[order, ki]
-        t = tprs[order, ki]
-        t = np.maximum.accumulate(t)  # monotone staircase
-        classwise_rocs[c] = (t, e, thresholds[order])
+    if thresholds is None:
+        # exact path: per-clip change-point staircases, delta-merged
+        from pb_sed_tpu.evaluation.changepoints import (
+            CurveAccumulator, representative_thresholds)
+        items = [
+            (clip_id, arr, timestamps)
+            for clip_id, (arr, timestamps) in scores_arrays.items()
+        ]
+        contributions = parallel_map(
+            _psds_clip_job, items,
+            (ground_truth, classes, dtc_threshold, gtc_threshold,
+             cttc_threshold, time_decimals),
+            num_jobs=num_jobs)
+        for ki, c in enumerate(classes):
+            acc = CurveAccumulator(2 + k)
+            for contrib in contributions:
+                levels, stats, base = contrib[ki]
+                acc.add(levels, stats, base)
+            bps, curve = acc.merged()
+            reps = representative_thresholds(bps)
+            tpr = curve[:, 0] / max(n_ref[ki], 1)
+            # own-class column of cts is always zero (no self triggers)
+            efpr = efpr_of(curve[:, 1], curve[:, 2:])
+            order = np.argsort(efpr, kind='mergesort')
+            classwise_rocs[c] = (
+                np.maximum.accumulate(tpr[order]), efpr[order],
+                reps[order])
+    else:
+        thresholds = np.asarray(thresholds, dtype=float)
+        tprs = np.zeros((len(thresholds), k))
+        efprs = np.zeros((len(thresholds), k))
+        all_counts = parallel_map(
+            _counts_job, [float(t) for t in thresholds],
+            (scores_arrays, ground_truth, classes, dtc_threshold,
+             gtc_threshold, cttc_threshold, time_decimals),
+            num_jobs=num_jobs)
+        for ti, (tps, fps, cts) in enumerate(all_counts):
+            tprs[ti] = tps / np.maximum(n_ref, 1)
+            np.fill_diagonal(cts, 0.)
+            efprs[ti] = efpr_of(fps, cts)
+        for ki, c in enumerate(classes):
+            order = np.argsort(efprs[:, ki], kind='mergesort')
+            classwise_rocs[c] = (
+                np.maximum.accumulate(tprs[order, ki]),  # monotone
+                efprs[order, ki], thresholds[order])
 
-    # effective TPR over a union grid of efpr support points
+    value, (grid, etpr) = _psds_from_rocs(
+        classwise_rocs, classes, alpha_st, max_efpr)
+    return value, (grid, etpr), classwise_rocs
+
+
+def _psds_from_rocs(classwise_rocs, classes, alpha_st, max_efpr):
+    """Across-class effective TPR over the union of efpr support points
+    -> normalized staircase AUC."""
+    k = len(classes)
     grid = np.unique(np.concatenate(
         [roc[1] for roc in classwise_rocs.values()] + [[0.]]))
     if max_efpr is not None:
@@ -209,7 +323,7 @@ def psds(scores, ground_truth, audio_durations, *, dtc_threshold,
     etpr = tpr_at.mean(0) - alpha_st * tpr_at.std(0)
     etpr = np.maximum(etpr, 0.)
     value = staircase_auc(etpr, grid, max_efpr) / max_efpr
-    return value, (grid, etpr), classwise_rocs
+    return value, (grid, etpr)
 
 
 def psds_from_operating_points(operating_points, ground_truth,

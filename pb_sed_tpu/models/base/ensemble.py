@@ -16,6 +16,22 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
+_VMAP_LOWERING_PATTERNS = (
+    'feature_group_count',   # grouped-conv constraint under vmap
+    'batch_group_count',
+    'batching rule',         # missing/unsupported primitive batching rule
+    'conv_general_dilated',
+)
+
+
+def _is_vmap_lowering_error(exc):
+    """Only the known vmap-of-grouped-conv lowering failures may silently
+    fall back to the sequential lane; anything else (OOM, shape mismatch,
+    bad member state) must propagate."""
+    msg = str(exc)
+    return any(pat in msg for pat in _VMAP_LOWERING_PATTERNS)
+
+
 def same_architecture(models):
     if len(models) < 2:
         return True
@@ -86,7 +102,15 @@ class StackedEnsemble:
         fns = self._jit_cache[key]
         try:
             return fns[0](self.variables, device_batch)
-        except Exception:
+        except Exception as exc:  # noqa: BLE001 — filtered below
+            if not _is_vmap_lowering_error(exc):
+                raise  # genuine failures (OOM, shape bugs) must surface
+            import warnings
+            warnings.warn(
+                f'vmapped ensemble path failed to lower '
+                f'({type(exc).__name__}: {exc}); falling back to the '
+                f'sequential-members-in-one-jit lane (N x slower)',
+                RuntimeWarning, stacklevel=2)
             fns[0] = fns[1]  # stop retrying the vmapped path
             return fns[1](self.variables, device_batch)
 

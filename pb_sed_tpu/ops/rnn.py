@@ -28,15 +28,24 @@ from pb_sed_tpu.utils.config import Configurable
 _SCAN_UNROLL = 8  # amortize TPU loop overhead over several timesteps
 
 
+def _pallas_interpret():
+    """Pallas runs natively on TPU; interpreter mode elsewhere (tests)."""
+    import jax as _jax
+    return _jax.default_backend() != 'tpu'
+
+
 class GRULayer(nn.Module):
     """Single GRU layer with torch gate ordering (r, z, n).
 
     The input projections for ALL timesteps run as one bf16 MXU matmul
     outside the scan; the scan carries only the (B, H) x (H, 3H)
-    recurrent matmul, unrolled to amortize loop overhead.
+    recurrent matmul, unrolled to amortize loop overhead. With
+    ``use_pallas`` the recurrence runs as the time-blocked Pallas kernel
+    (``ops/pallas/gru.py``) instead of ``lax.scan``.
     """
     hidden_size: int
     bias: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, h0=None):
@@ -57,6 +66,10 @@ class GRULayer(nn.Module):
                      preferred_element_type=jnp.float32) + b_ih
         if h0 is None:
             h0 = jnp.zeros((b, hdim), dtype=jnp.float32)
+        if self.use_pallas:
+            from pb_sed_tpu.ops.pallas.gru import gru_scan
+            return gru_scan(xw[None], w_hh[None], b_hh[None], h0[None],
+                            _pallas_interpret())[0]
         w_hh_c = w_hh.astype(jnp.bfloat16)
 
         def step(h, xw_t):
@@ -78,9 +91,12 @@ class GRULayer(nn.Module):
 class BiGRULayer(nn.Module):
     """Fused bidirectional GRU layer: forward and backward directions run
     in ONE scan with a stacked (2, ...) parameter axis, halving the
-    number of sequential loop iterations vs two separate scans."""
+    number of sequential loop iterations vs two separate scans. With
+    ``use_pallas`` both directions run in one kernel launch (direction =
+    leading grid axis of ``ops/pallas/gru.py``)."""
     hidden_size: int
     bias: bool = True
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, seq_len):
@@ -104,6 +120,12 @@ class BiGRULayer(nn.Module):
             w_ih.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32) + b_ih[:, None]
         h0 = jnp.zeros((2, b, hdim), dtype=jnp.float32)
+        if self.use_pallas:
+            from pb_sed_tpu.ops.pallas.gru import gru_scan
+            ys2 = gru_scan(xw, w_hh, b_hh[:, 0], h0, _pallas_interpret())
+            fwd = ys2[0]
+            bwd = reverse_sequence(ys2[1], seq_len, axis=1)
+            return jnp.concatenate([fwd, bwd], axis=-1)
         w_hh_c = w_hh.astype(jnp.bfloat16)
 
         def step(h, xw_t):  # h: (2, B, H), xw_t: (2, B, 3H)
@@ -135,12 +157,20 @@ def _stacked_orthogonal(key, shape, dtype=jnp.float32):
 
 
 class StackedGRU(nn.Module):
-    """Multi-layer (optionally bidirectional) GRU over padded batches."""
+    """Multi-layer (optionally bidirectional) GRU over padded batches.
+
+    ``use_pallas`` selects the time-blocked Pallas recurrence kernel
+    (``ops/pallas/gru.py``) for the forward pass; gradients fall back to
+    the scan path via the kernel's custom VJP, so the flag is safe in
+    training but pays off on forward-only workloads (ensemble inference,
+    sliding-window SED).
+    """
     hidden_size: int
     num_layers: int = 1
     bias: bool = True
     dropout: float = 0.
     bidirectional: bool = False
+    use_pallas: bool = False
     input_size: int = None  # informational (config glue)
 
     @nn.compact
@@ -149,9 +179,11 @@ class StackedGRU(nn.Module):
         for i in range(self.num_layers):
             if self.bidirectional:
                 h = BiGRULayer(self.hidden_size, self.bias,
+                               use_pallas=self.use_pallas,
                                name=f'layer_{i}_bi')(h, seq_len)
             else:
                 h = GRULayer(self.hidden_size, self.bias,
+                             use_pallas=self.use_pallas,
                              name=f'layer_{i}_fwd')(h)
             if self.dropout > 0 and training and i < self.num_layers - 1:
                 h = nn.Dropout(self.dropout, deterministic=False)(h)

@@ -34,6 +34,12 @@ def batch_sharding(mesh, axis_name='data'):
     return NamedSharding(mesh, P(axis_name))
 
 
+def stacked_batch_sharding(mesh, axis_name='data'):
+    """Sharding for (K, B, ...) multi-step stacked batches: the steps
+    axis K is replicated (scanned over), the batch axis B sharded."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
 def replicated_sharding(mesh):
     return NamedSharding(mesh, P())
 

@@ -55,9 +55,11 @@ class EmissionsTracker:
         with path.open('a', newline='') as fid:
             writer = csv.writer(fid)
             if new:
+                # *_estimated: wall-clock x TDP guess, NOT a measured
+                # power draw — do not compare against metered numbers
                 writer.writerow([
                     'timestamp', 'duration_s', 'platform', 'num_devices',
-                    'energy_kwh', 'emissions_kg'])
+                    'energy_kwh_estimated', 'emissions_kg_estimated'])
             writer.writerow([
                 time.strftime('%Y-%m-%dT%H:%M:%S'), f'{duration:.1f}',
                 platform, n, f'{energy_kwh:.6f}', f'{emissions_kg:.6f}'])

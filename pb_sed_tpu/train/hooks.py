@@ -22,15 +22,22 @@ class IntervalTrigger:
         self.last = None
 
     def __call__(self, iteration, epoch=0):
-        # fire on exact multiples only (deduped per index) — firing on
-        # the first call regardless of index would checkpoint at
-        # iteration 1 and could overwrite ckpt_latest before a resume
-        # gets to load it
+        # fire on period-boundary CROSSINGS, not exact multiples: the
+        # multi-step lane advances the iteration by steps_per_call per
+        # call, so exact-multiple matching would silently stretch the
+        # effective period to lcm(period, steps_per_call). Repeated
+        # calls at the same index stay deduped, and resume sets
+        # ``last`` to the restored iteration so the first post-resume
+        # call cannot immediately re-fire.
         index = iteration if self.unit == 'iteration' else epoch
-        if index % self.period == 0 and index != self.last:
-            self.last = index
-            return True
-        return False
+        last, self.last = self.last, index
+        if last is None:
+            # first-ever call: fire at index 0 (epoch-style triggers) or
+            # if a period boundary already lies behind us
+            return index == 0 or index >= self.period
+        if index == last:
+            return False
+        return index // self.period > last // self.period
 
 
 class EndTrigger(IntervalTrigger):

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from pb_sed_tpu.parallel.mesh import (
-    batch_sharding, get_mesh, pad_batch_to_multiple, replicated_sharding)
+    batch_sharding, get_mesh, pad_batch_to_multiple, replicated_sharding,
+    stacked_batch_sharding)
 from pb_sed_tpu.train.hooks import EndTrigger, Hook, IntervalTrigger
 from pb_sed_tpu.train.optimizer import Adam
 from pb_sed_tpu.utils.config import Configurable
@@ -223,13 +224,15 @@ class Trainer(Configurable):
                  buffers, images) = step_body(
                     variables, opt_state, batch, rng, iteration, lr_scale)
                 return ((new_vars, opt_state, next_rng, next_it),
-                        (loss, scalars, buffers))
+                        (loss, scalars, buffers, images))
 
             (variables, opt_state, rng, iteration), (
-                losses, scalars, buffers) = jax.lax.scan(
+                losses, scalars, buffers, images) = jax.lax.scan(
                 body, (variables, opt_state, rng, iteration), batches)
+            # keep only the last step's images (summaries show one grid)
+            images = jax.tree_util.tree_map(lambda x: x[-1], images)
             return (variables, opt_state, rng, iteration, losses,
-                    scalars, buffers)
+                    scalars, buffers, images)
 
         def val_step(variables, batch):
             loss, aux = model.loss_fn(variables, batch, rngs={},
@@ -240,6 +243,10 @@ class Trainer(Configurable):
         if self.mesh is not None and len(self.mesh.devices.flat) > 1:
             repl = replicated_sharding(self.mesh)
             data = batch_sharding(self.mesh)
+            # stacked batches are (K, B, ...): shard the trailing batch
+            # axis so the multi-step lane is data-parallel like the
+            # single-step lane
+            stacked_data = stacked_batch_sharding(self.mesh)
             self._step_fn = jax.jit(
                 train_step,
                 in_shardings=(repl, repl, data, repl, repl, repl),
@@ -249,11 +256,17 @@ class Trainer(Configurable):
             self._val_fn = jax.jit(
                 val_step, in_shardings=(repl, data),
             )
+            self._multi_step_fn = jax.jit(
+                train_multi_step,
+                in_shardings=(repl, repl, stacked_data, repl, repl, repl),
+                out_shardings=(repl,) * 8,
+                donate_argnums=(0, 1, 3),
+            )
         else:
             self._step_fn = jax.jit(train_step, donate_argnums=(0, 1, 3))
             self._val_fn = jax.jit(val_step)
-        self._multi_step_fn = jax.jit(
-            train_multi_step, donate_argnums=(0, 1, 3))
+            self._multi_step_fn = jax.jit(
+                train_multi_step, donate_argnums=(0, 1, 3))
         self._device_step_state = None
 
     @property
@@ -396,7 +409,7 @@ class Trainer(Configurable):
             self._sync_step_state()
         rng, iteration, lr_scale = self._device_step_state
         (variables, self.opt_state, next_rng, next_iteration, losses,
-         scalars, buffers) = self._multi_step_fn(
+         scalars, buffers, images) = self._multi_step_fn(
             self.model.variables, self.opt_state, stacked,
             rng, iteration, lr_scale)
         self._device_step_state = (next_rng, next_iteration, lr_scale)
@@ -405,7 +418,7 @@ class Trainer(Configurable):
         # scalars/losses are (K,)-stacked; buffers (K, B, ...) -> (K*B,...)
         flat_buffers = jax.tree_util.tree_map(
             lambda x: x.reshape((-1,) + x.shape[2:]), buffers)
-        self._accumulate_summary(losses, scalars, flat_buffers, {})
+        self._accumulate_summary(losses, scalars, flat_buffers, images)
         if self.summary_trigger(self.iteration):
             self._flush_summary(prefix='training')
         if self.checkpoint_trigger(self.iteration):
@@ -580,6 +593,12 @@ class Trainer(Configurable):
         if self.storage_dir is None:
             return
         self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        if self._device_step_state is not None:
+            # the live key advances ON DEVICE inside the jitted step;
+            # pull it back so resume continues the augment/dropout RNG
+            # stream instead of replaying it from the initial seed
+            self._rng = jnp.asarray(
+                np.asarray(self._device_step_state[0]))
         payload = {
             'model': self.model.state_dict(),
             'iteration': self.iteration,

@@ -51,3 +51,62 @@ def test_desed_download_gates_on_missing_tools(tmp_path, capsys):
         dl.download(tmp_path / 'desed', n_jobs=1)
     except Exception as exc:  # noqa: BLE001 - must be a clean, typed error
         assert isinstance(exc, (RuntimeError, OSError)), exc
+
+
+def test_synthetic21_rearrangement(tmp_path):
+    """stdlib rearrangement of the unpacked dcase_synth archive matches
+    the reference layout contract (desed/download.py:137-157)."""
+    from pb_sed_tpu.database.desed.download import rearrange_synthetic21
+    db = tmp_path / 'desed'
+    archive = db / 'synthetic' / 'dcase_synth'
+    for purpose in ('train', 'validation'):
+        scapes = (archive / 'audio' / purpose
+                  / f'synthetic21_{purpose}' / 'soundscapes')
+        scapes.mkdir(parents=True)
+        (scapes / 'clip0.wav').write_bytes(b'RIFF')
+        (scapes / 'clip0.jams').write_text('{}')
+        (scapes / 'notes.txt').write_text('x')
+        meta = (archive / 'metadata' / purpose
+                / f'synthetic21_{purpose}')
+        meta.mkdir(parents=True)
+        (meta / 'soundscapes.tsv').write_text(
+            'filename\tonset\toffset\tevent_label\n')
+    done = rearrange_synthetic21(db, archive)
+    assert done == ['train', 'validation']
+    for purpose in ('train', 'validation'):
+        target = db / 'audio' / purpose / 'synthetic21'
+        assert (target / 'clip0.wav').exists()
+        assert not list(target.glob('*.jams'))
+        assert not list(target.glob('*.txt'))
+        assert (db / 'metadata' / purpose / 'synthetic21.tsv').exists()
+    # idempotent: a second run reports done without touching anything
+    assert rearrange_synthetic21(db, archive) == ['train', 'validation']
+
+
+def test_segments_from_desed_strong_tsv(tmp_path):
+    from pb_sed_tpu.database.audioset.download import (
+        download_clips_from_tsv, segments_from_desed_strong_tsv)
+    tsv = tmp_path / 'strong.tsv'
+    tsv.write_text(
+        'filename\tonset\toffset\tevent_label\n'
+        'Yabc123_30.000_40.000.wav\t0.1\t2.0\tDog\n'
+        'Yabc123_30.000_40.000.wav\t3.0\t4.0\tCat\n'   # same clip
+        'Yd_ef-4_5.000_15.000.wav\t1.0\t2.0\tDog\n'    # _ in ytid
+    )
+    segments = segments_from_desed_strong_tsv(tsv)
+    assert len(segments) == 2
+    assert segments[0] == ('Yabc123_30.000_40.000', 'abc123', 30., 40.)
+    assert segments[1] == ('Yd_ef-4_5.000_15.000', 'd_ef-4', 5., 15.)
+
+    # failed clips land in the missing-files manifest
+    from unittest import mock
+    from pb_sed_tpu.database.audioset import download as dl
+
+    with mock.patch.object(
+            dl, 'download_clip', lambda *a, **k: False):
+        failed = download_clips_from_tsv(
+            tsv, tmp_path / 'audio', num_workers=2,
+            missing_files_tsv=tmp_path / 'missing' / 'strong.tsv')
+    assert len(failed) == 2
+    manifest = (tmp_path / 'missing' / 'strong.tsv').read_text()
+    assert 'Yabc123_30.000_40.000.wav' in manifest

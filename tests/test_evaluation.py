@@ -218,3 +218,109 @@ def test_psds_parallel_matches_serial(monkeypatch):
     assert pooled == pytest.approx(serial)
     np.testing.assert_allclose(grid_p, grid_s)
     np.testing.assert_allclose(etpr_p, etpr_s)
+
+
+# ----------------------------------------------------------------------
+# exact change-point enumeration (reference sed_scores_eval semantics)
+# ----------------------------------------------------------------------
+def test_level_detections_and_curve_accumulator():
+    from pb_sed_tpu.evaluation.changepoints import (
+        CurveAccumulator, level_detections, representative_thresholds)
+    scores = np.array([0.1, 0.9, 0.9, 0.1, 0.5])
+    ts = np.arange(6) * 1.0
+    levels, dets = level_detections(scores, ts)
+    np.testing.assert_allclose(levels, [0.1, 0.5, 0.9])
+    assert dets[0] == [(0., 5.)]            # base: everything
+    assert dets[1] == [(1., 3.), (4., 5.)]  # > 0.1
+    assert dets[2] == [(1., 3.)]            # > 0.5
+    assert dets[3] == []                    # > 0.9
+
+    # two clips' staircases merge at the union of change points
+    acc = CurveAccumulator(1)
+    acc.add([0.2, 0.6], [[2.], [0.]], [3.])   # clip A
+    acc.add([0.4], [[0.]], [1.])              # clip B
+    bps, curve = acc.merged()
+    np.testing.assert_allclose(bps, [0.2, 0.4, 0.6])
+    # t<0.2: 3+1; t in [.2,.4): 2+1; t in [.4,.6): 2+0; t>=.6: 0
+    np.testing.assert_allclose(curve[:, 0], [4., 3., 2., 0.])
+    reps = representative_thresholds(bps)
+    np.testing.assert_allclose(reps, [0.199, 0.3, 0.5, 0.601])
+
+
+def test_collar_best_fscore_exact_beats_grid():
+    """Fixture where the approximate quantile grid misses the only
+    threshold window achieving F=1 while exact enumeration finds it
+    (hand check: detections == gt exactly for t in [0.7, 0.75))."""
+    t = 100
+    arr = np.zeros((t, 1))
+    arr[:60, 0] = np.linspace(0.1, 0.7, 60)   # rising noise ramp
+    arr[60:70, 0] = 0.75                      # the true event
+    arr[70:, 0] = 0.1
+    ts = np.arange(t + 1) * 1.0
+    scores = {'c1': create_score_dataframe(arr, ts, ['a'])}
+    gt = {'c1': [(60., 70., 'a')]}
+    f, p, r, thr, stats = collar_based.best_fscore(
+        scores, gt, onset_collar=.2, offset_collar=.2,
+        offset_collar_rate=.2)
+    assert f['a'] == pytest.approx(1.)
+    assert 0.7 <= thr['a'] < 0.75, thr
+    # decisions at the returned threshold reproduce the best F
+    f_at, *_ = collar_based.fscore(
+        scores, gt, thr, onset_collar=.2, offset_collar=.2,
+        offset_collar_rate=.2)
+    assert f_at['a'] == pytest.approx(1.)
+    # the approximate grid (quantiles of 62 distinct values) misses the
+    # narrow [0.7, 0.75) window
+    f_grid, _, _, thr_grid, _ = collar_based.best_fscore(
+        scores, gt, onset_collar=.2, offset_collar=.2,
+        offset_collar_rate=.2, max_thresholds=10)
+    assert f_grid['a'] < 1.
+
+
+def test_psds_exact_beats_50_grid():
+    """Hand-computed fixture: the clean operating window (0.898, 0.902)
+    falls between the official 50-grid points 0.89 and 0.91, so the
+    approximate PSDS sees only (tpr=1 @ efpr=36/h) and (0, 0) while the
+    exact enumeration finds (tpr=1 @ efpr=0) -> PSDS 1.0 vs 0.64."""
+    t = 100  # 1 s frames -> 100 s clip
+    arr = np.zeros((t, 1))
+    arr[10:20, 0] = 0.902   # true event
+    arr[30:35, 0] = 0.898   # false positive burst
+    arr[arr[:, 0] == 0., 0] = 0.1
+    ts = np.arange(t + 1) * 1.0
+    scores = {'c1': create_score_dataframe(arr, ts, ['a'])}
+    gt = {'c1': [(10., 20., 'a')]}
+    durations = {'c1': 100.}
+    exact, _, rocs = intersection_based.psds(
+        scores, gt, durations, dtc_threshold=.7, gtc_threshold=.7,
+        alpha_ct=0., alpha_st=0., max_efpr=100.)
+    assert exact == pytest.approx(1.0)
+    tpr, efpr, thr = rocs['a']
+    # the exact ROC contains the (efpr=0, tpr=1) point at a threshold
+    # inside the clean window
+    i = np.flatnonzero((efpr == 0.) & (tpr == 1.))
+    assert i.size and 0.898 <= thr[i[0]] < 0.902
+    approx, _, _ = intersection_based.approximate_psds(
+        scores, gt, durations, dtc_threshold=.7, gtc_threshold=.7,
+        alpha_ct=0., alpha_st=0., max_efpr=100.)
+    assert approx == pytest.approx(0.64), approx
+    assert exact > approx
+
+
+def test_collar_exact_parallel_matches_serial(monkeypatch):
+    """The exact path parallelizes over CLIPS; the pool must reproduce
+    the serial result exactly."""
+    from pb_sed_tpu.evaluation import parallel as par
+    rng = np.random.RandomState(7)
+    scores = {}
+    gt = {}
+    for i in range(6):
+        arr = rng.rand(30, 2)
+        ts = np.arange(31) * 0.5
+        scores[f'c{i}'] = create_score_dataframe(arr, ts, CLASSES)
+        gt[f'c{i}'] = [(2., 5., 'a'), (7., 9., 'b')]
+    serial = collar_based.best_fscore(scores, gt, num_jobs=1)
+    monkeypatch.setattr(par.os, 'cpu_count', lambda: 4)
+    pooled = collar_based.best_fscore(scores, gt, num_jobs=2)
+    assert serial[0] == pooled[0]
+    assert serial[3] == pooled[3]

@@ -167,6 +167,23 @@ def test_stacked_ensemble_matches_sequential(setup):
     np.testing.assert_allclose(y, (y_seq0 + y_seq1) / 2, atol=2e-5)
 
 
+def test_stacked_ensemble_genuine_error_propagates(setup):
+    """Regression: the vmapped-path fallback used to eat EVERY exception
+    and silently re-run N x slower; only the known grouped-conv/vmap
+    lowering failures may fall back."""
+    import pytest
+    from pb_sed_tpu.models.base.ensemble import StackedEnsemble
+    provider, models, db, tmp_path = setup
+    runner = StackedEnsemble(models)
+    batch = next(iter(provider.get_validate_set()))
+
+    def bad_method(self, batch, training=False):
+        raise ValueError('genuine failure')
+
+    with pytest.raises(ValueError, match='genuine failure'):
+        runner._apply(batch, bad_method)
+
+
 def test_stacked_ensemble_on_mesh(setup):
     """Ensemble axis sharded over the virtual 8-device mesh (ICI plan,
     SURVEY.md §2.4 'ensemble parallel')."""

@@ -1,0 +1,111 @@
+"""Multi-host input-pipeline semantics (process-simulated shards).
+
+SURVEY.md §2.4/§7 hard part: the bucketing policy's
+``min_dataset_examples_in_batch`` / ``min_label_diversity_in_batch``
+contracts must hold per GLOBAL batch when every host feeds its own shard
+(reference contract: ``pb_sed/data_preparation/fetcher.py:38-51``).
+"""
+import numpy as np
+
+from pb_sed_tpu.data import lazy
+from pb_sed_tpu.data.fetcher import DataFetcher, split_quota
+from pb_sed_tpu.parallel.mesh import initialize_distributed
+
+
+def make_examples(n=32):
+    rng = np.random.RandomState(0)
+    examples = []
+    for i in range(n):
+        ds_name = 'b' if i % 4 == 0 else 'a'
+        seq_len = int(rng.choice([10, 12, 30]))
+        k = 4
+        weak = np.zeros(k, np.float32)
+        weak[i % k] = 1.
+        examples.append({
+            'example_id': f'e{i}', 'dataset': ds_name,
+            'audio_data': np.zeros(seq_len * 50, np.float32),
+            'seq_len': seq_len, 'seq_len_samples': seq_len * 50,
+            'weak_targets': weak,
+        })
+    return examples
+
+
+def fetch(examples, **kwargs):
+    fetcher = DataFetcher(
+        prefetch_workers=0, pad_to_multiple=8, drop_incomplete=True,
+        **kwargs)
+    return list(fetcher(lazy.from_list(examples)))
+
+
+def test_split_quota_deterministic():
+    for quota in range(7):
+        for n in (1, 2, 3, 4):
+            shares = [split_quota(quota, n, i) for i in range(n)]
+            assert sum(shares) == quota, (quota, n, shares)
+            assert max(shares) - min(shares) <= 1
+
+
+def test_global_batch_sharding_exact_semantics():
+    """shard_level='batch': every host assembles the identical global
+    batch and takes its slice -> global composition quotas hold exactly
+    and all hosts see the same palette shape per step."""
+    initialize_distributed()  # single-host no-op
+    examples = make_examples()
+    quota = {'b': 1}
+    kwargs = dict(batch_size=4, min_dataset_examples_in_batch=quota,
+                  min_label_diversity_in_batch=2)
+    full = fetch(examples, **kwargs)
+    shard0 = fetch(examples, num_shards=2, shard_index=0, **kwargs)
+    shard1 = fetch(examples, num_shards=2, shard_index=1, **kwargs)
+    assert len(full) == len(shard0) == len(shard1) > 0
+    for bf, b0, b1 in zip(full, shard0, shard1):
+        ids0, ids1 = set(b0['example_id']), set(b1['example_id'])
+        # disjoint slices reassemble the global batch
+        assert not ids0 & ids1
+        assert ids0 | ids1 == set(bf['example_id'])
+        # identical palette shape across hosts (SPMD shape agreement)
+        assert (b0['audio_data'].shape[1] == b1['audio_data'].shape[1]
+                == bf['audio_data'].shape[1])
+        assert (b0['weak_targets'].shape[0] + b1['weak_targets'].shape[0]
+                == bf['weak_targets'].shape[0])
+        # GLOBAL batch composition quotas (the reference contract)
+        union_datasets = list(b0['dataset']) + list(b1['dataset'])
+        assert union_datasets.count('b') >= quota['b']
+        union_labels = set()
+        for b in (b0, b1):
+            union_labels |= set(
+                np.nonzero(b['weak_targets'].max(0) > .99)[0].tolist())
+        assert len(union_labels) >= 2
+
+
+def test_example_level_sharding_split_quotas():
+    """shard_level='example': per-shard bucketing with deterministically
+    split quotas -> the union still satisfies the global dataset quota."""
+    examples = make_examples()
+    quota = {'b': 2}
+    kwargs = dict(batch_size=4, min_dataset_examples_in_batch=quota,
+                  shard_level='example')
+    shards = [
+        fetch(examples, num_shards=2, shard_index=i, **kwargs)
+        for i in range(2)
+    ]
+    assert all(shards)
+    for b0, b1 in zip(*shards):
+        # local batches are batch_size // num_shards
+        assert len(b0['example_id']) == len(b1['example_id']) == 2
+        union_datasets = list(b0['dataset']) + list(b1['dataset'])
+        assert union_datasets.count('b') >= quota['b']
+        # no example appears on both shards
+        assert not set(b0['example_id']) & set(b1['example_id'])
+
+
+def test_unsharded_matches_old_behavior():
+    examples = make_examples(8)
+    for ex in examples:  # uniform length -> a single palette bucket
+        ex['seq_len'] = 10
+        ex['seq_len_samples'] = 500
+        ex['audio_data'] = np.zeros(500, np.float32)
+    batches = fetch(examples, batch_size=4)
+    ids = [i for b in batches for i in b['example_id']]
+    assert sorted(ids, key=lambda s: int(s[1:])) == [
+        f'e{i}' for i in range(8)]

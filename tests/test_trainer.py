@@ -76,6 +76,58 @@ def test_triggers():
     assert fired == [0, 2, 4]
 
 
+def test_interval_trigger_fires_on_boundary_crossing():
+    """Regression: with steps_per_call>1 the iteration advances in
+    strides, so exact-multiple matching would stretch the effective
+    period to lcm(period, stride); crossings must fire instead."""
+    t = IntervalTrigger((1000, 'iteration'))
+    fired = [i for i in range(3, 3001, 3) if t(i)]
+    assert fired == [1002, 2001, 3000]
+    # repeated calls at the same index stay deduped
+    t2 = IntervalTrigger((4, 'iteration'))
+    assert t2(4) and not t2(4)
+    # resume alignment: no immediate re-fire at the restored iteration
+    t3 = IntervalTrigger((4, 'iteration'))
+    t3.last = 8
+    assert not t3(9) and not t3(11) and t3(12)
+
+
+def test_resume_continues_rng_stream(tmp_path):
+    """Regression: checkpoints used to store the initial seed key, so
+    resume replayed the augment/dropout RNG stream from iteration 0."""
+    import pickle
+
+    import jax
+
+    provider = make_provider(tmp_path / 'db')
+    batch = next(iter(provider.get_train_set()))
+    storage = tmp_path / 'run'
+    t_full = Trainer(make_model(), storage_dir=None,
+                     stop_trigger=(6, 'iteration'))
+    t_full._ensure_ready(batch)
+    full_losses = [float(t_full.train_step(batch)) for _ in range(6)]
+
+    t_a = Trainer(make_model(), storage_dir=storage,
+                  stop_trigger=(3, 'iteration'))
+    t_a._ensure_ready(batch)
+    a_losses = [float(t_a.train_step(batch)) for _ in range(3)]
+    t_a.save_checkpoint()
+    with (storage / 'checkpoints' / 'ckpt_latest.pkl').open('rb') as fid:
+        payload = pickle.load(fid)
+    seed_key = np.asarray(jax.random.PRNGKey(t_a.seed))
+    assert not np.array_equal(payload['rng'], seed_key), (
+        'checkpoint stored the initial seed key instead of the '
+        'device-advanced one')
+
+    t_b = Trainer(make_model(), storage_dir=storage,
+                  stop_trigger=(6, 'iteration'))
+    t_b._ensure_ready(batch)
+    assert t_b.load_latest_checkpoint()
+    b_losses = [float(t_b.train_step(batch)) for _ in range(3)]
+    np.testing.assert_allclose(
+        a_losses + b_losses, full_losses, rtol=1e-4)
+
+
 def test_lr_annealing_hook():
     hook = LRAnnealingHook(breakpoints=[(0, 0.), (10, 1.), (10, 1.),
                                         (20, 1.), (20, 0.2)])
@@ -227,6 +279,26 @@ def test_freeze_blocks_updates(tmp_path):
         np.testing.assert_array_equal(before[k], after[k])
     assert any(
         np.abs(before[k] - after[k]).max() > 0 for k in moved_keys)
+
+
+def test_multi_step_lane_fires_triggers(tmp_path):
+    """Regression: with steps_per_call=3 and checkpoint_interval=4 the
+    old exact-multiple trigger fired only every lcm(3,4)=12 iterations."""
+    provider = make_provider(tmp_path / 'db')
+    storage = tmp_path / 'run'
+    trainer = Trainer(make_model(), storage_dir=storage,
+                      steps_per_call=3,
+                      checkpoint_trigger=(4, 'iteration'),
+                      stop_trigger=(100, 'iteration'),
+                      keep_checkpoints=10)
+    batch = next(iter(provider.get_train_set()))
+    trainer._ensure_ready(batch)
+    for _ in range(4):
+        trainer.train_steps([batch] * 3)
+    names = sorted(
+        int(p.stem.split('_')[1])
+        for p in (storage / 'checkpoints').glob('ckpt_[0-9]*.pkl'))
+    assert names == [6, 9, 12], names
 
 
 def test_multi_step_training(tmp_path):
