@@ -129,7 +129,10 @@ def lane_ensemble(results, n_models=10):
         m.init_variables(b, seed=i)
         models.append(m)
     runner = StackedEnsemble(models)
-    batch = _batch(models[0], batch_size=BATCH_SIZE, seconds=SECONDS)
+    # bs=8: the sliding-window fold multiplies the batch by ~T windows;
+    # bs=32 x 10 members OOM-kills the remote AOT compile helper
+    ens_batch = 8
+    batch = _batch(models[0], batch_size=ens_batch, seconds=SECONDS)
     batch = {k: jnp.asarray(v) for k, v in batch.items()
              if isinstance(v, np.ndarray)}
     n_chips = jax.device_count()
@@ -142,7 +145,7 @@ def lane_ensemble(results, n_models=10):
         y, _ = runner.sound_event_detection(batch, **kwargs)
     dt = time.perf_counter() - t0
     results['ensemble10_sed_clips_per_s_chip'] = round(
-        BATCH_SIZE * n / dt / n_chips, 2)
+        ens_batch * n / dt / n_chips, 2)
     results['ensemble10_sed_wall_ms_per_batch'] = round(1e3 * dt / n, 2)
 
 
@@ -279,6 +282,25 @@ def lane_pallas(results):
     results['pallas_gru_ms'] = round(1e3 * dt_pal / n, 3)
     results['scan_gru_ms'] = round(1e3 * dt_ref / n, 3)
 
+    # training path: forward + Pallas backward kernel vs scan autodiff
+    def loss_pal(*a):
+        return jnp.sum(jnp.square(gru_scan(*a, False)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.square(gru_scan_reference(*a)))
+
+    grad_pal = jax.jit(jax.grad(loss_pal, argnums=(0, 1, 2, 3)))
+    grad_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3)))
+    gp = grad_pal(xw, w_hh, b_hh, h0)
+    gr = grad_ref(xw, w_hh, b_hh, h0)
+    gerr = max(float(jnp.max(jnp.abs(a - b))) / max(
+        float(jnp.max(jnp.abs(b))), 1e-9) for a, b in zip(gp, gr))
+    results['pallas_gru_grad_max_rel_err'] = round(gerr, 6)
+    dt_gp = _timed(lambda: grad_pal(xw, w_hh, b_hh, h0), n)
+    dt_gr = _timed(lambda: grad_ref(xw, w_hh, b_hh, h0), n)
+    results['pallas_gru_grad_ms'] = round(1e3 * dt_gp / n, 3)
+    results['scan_gru_grad_ms'] = round(1e3 * dt_gr / n, 3)
+
 
 def main():
     parser = argparse.ArgumentParser()
@@ -288,17 +310,31 @@ def main():
     args = parser.parse_args()
     lanes = args.lanes.split(',')
     sys.path.insert(0, '.')
+    import jax
+    try:
+        # persistent compile cache: re-runs skip the 5-10 min remote
+        # compiles (PERFORMANCE.md tunnel pathology)
+        jax.config.update('jax_compilation_cache_dir',
+                          '/tmp/jax_bench_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.)
+    except Exception:  # noqa: BLE001 — older jax without the knobs
+        pass
     results = {}
     for name, fn in (('train', lane_train), ('ensemble', lane_ensemble),
                      ('host', lane_host), ('profile', lane_profile),
                      ('pallas', lane_pallas)):
         if name not in lanes:
             continue
+        t_lane = time.perf_counter()
         try:
             fn(results)
         except Exception as exc:  # noqa: BLE001 — keep the headline alive
             print(f'lane {name} failed: {exc!r}', file=sys.stderr)
             results[f'{name}_error'] = repr(exc)
+        # incremental evidence: survives a timeout of a later lane
+        print(f'[lane {name} done in '
+              f'{time.perf_counter() - t_lane:.1f}s] '
+              f'{json.dumps(results)}', file=sys.stderr, flush=True)
 
     candidates = [
         results.get('train_single_clips_per_s_chip'),

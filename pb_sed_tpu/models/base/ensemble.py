@@ -93,8 +93,43 @@ class StackedEnsemble:
                     ys.append(y)
                 return jnp.stack(ys).mean(0), seq_len
 
-            self._jit_cache[key] = [jax.jit(mean_fn),
-                                    jax.jit(member_mean_fn)]
+            mesh = self.mesh
+            if mesh is not None and self.ensemble_axis in mesh.axis_names:
+                # ensemble-axis parallelism via shard_map: every shard
+                # evaluates its LOCAL members with ordinary (non-grouped)
+                # convolutions and the member mean reduces over ICI with
+                # one pmean — this avoids the GSPMD grouped-conv rewrite
+                # that the vmapped lane can hit under sharding
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+                axis = self.ensemble_axis
+                e_local = len(self.models) // mesh.shape[axis]
+
+                def shard_fn(variables, device_batch):
+                    ys = []
+                    seq_len = None
+                    for i in range(e_local):
+                        member = jax.tree_util.tree_map(
+                            lambda x: x[i], variables)
+                        y, seq_len = one(member, device_batch)
+                        ys.append(y)
+                    y = jnp.stack(ys).mean(0)
+                    y = jax.lax.pmean(y, axis_name=axis)
+                    return y, seq_len
+
+                sharded = shard_map(
+                    shard_fn, mesh=mesh,
+                    # prefix specs: members sharded over the ensemble
+                    # axis, the batch replicated on every shard
+                    in_specs=(P(axis), P()),
+                    out_specs=(P(), P()),
+                    check_vma=False,
+                )
+                self._jit_cache[key] = [jax.jit(sharded),
+                                        jax.jit(member_mean_fn)]
+            else:
+                self._jit_cache[key] = [jax.jit(mean_fn),
+                                        jax.jit(member_mean_fn)]
         device_batch = {
             k: jnp.asarray(v) for k, v in batch.items()
             if isinstance(v, (np.ndarray, jnp.ndarray))

@@ -73,7 +73,10 @@ def _gru_kernel(xw_ref, w_hh_ref, b_hh_ref, h0_ref, y_ref, h_scratch, *,
 
 
 def _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=False,
-                     block_b=32, block_t=64):
+                     block_b=32, block_t=32):
+    # block_t=32 keeps the double-buffered (B_blk, T_blk, 3H) slabs
+    # inside the 16 MB scoped-VMEM budget at H=256 (measured: T_blk=64
+    # overflows by 68 KB on v5e)
     d, b, t, three_h = xw.shape
     h = three_h // 3
     block_b = min(block_b, b)
@@ -114,6 +117,135 @@ def _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=False,
       b_hh.reshape(d, 1, three_h).astype(jnp.float32),
       h0.astype(jnp.float32))
     return y[:, :, :t, :]
+
+
+def _gru_bwd_kernel(xw_ref, hprev_ref, w_hh_ref, b_hh_ref, g_ref,
+                    dxw_ref, dwhh_ref, dbhh_ref, dh0_ref, dh_scratch, *,
+                    t_block, hidden):
+    """Reverse-sweep backward: one (direction, batch-block, rev-time-
+    block) grid step. Recomputes the gates from xw + h_prev (cheaper
+    than storing them), carries dh in VMEM scratch and accumulates
+    dw_hh / db_hh directly in their (revisited) output blocks."""
+    b_idx = pl.program_id(1)
+    t_idx = pl.program_id(2)
+    nt = pl.num_programs(2)
+
+    @pl.when(t_idx == 0)
+    def _reset_carry():
+        dh_scratch[:] = jnp.zeros_like(dh_scratch)
+
+    @pl.when((b_idx == 0) & (t_idx == 0))
+    def _zero_accumulators():
+        dwhh_ref[0] = jnp.zeros_like(dwhh_ref[0])
+        dbhh_ref[0] = jnp.zeros_like(dbhh_ref[0])
+
+    w_hh = w_hh_ref[0]
+    b_hh = b_hh_ref[0]
+
+    def body(k, carry):
+        dh, dw_acc, db_acc = carry
+        t = t_block - 1 - k  # local reverse sweep
+        h_prev = hprev_ref[0, :, t, :]
+        xw_t = xw_ref[0, :, t, :]
+        hw = jnp.dot(h_prev, w_hh,
+                     preferred_element_type=jnp.float32) + b_hh
+        xr = xw_t[:, :hidden]
+        xz = xw_t[:, hidden:2 * hidden]
+        xn = xw_t[:, 2 * hidden:]
+        hr = hw[:, :hidden]
+        hz = hw[:, hidden:2 * hidden]
+        hn = hw[:, 2 * hidden:]
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+
+        dh_total = g_ref[0, :, t, :] + dh
+        dz = dh_total * (h_prev - n) * z * (1. - z)
+        dpre_n = dh_total * (1. - z) * (1. - n * n)
+        dpre_r = dpre_n * hn * r * (1. - r)
+        dxw_ref[0, :, t, :] = jnp.concatenate(
+            [dpre_r, dz, dpre_n], axis=-1)
+        # grads w.r.t. the hw projection: (dhr, dhz, dhn)
+        dgates_h = jnp.concatenate(
+            [dpre_r, dz, dpre_n * r], axis=-1)  # (B, 3H)
+        dh_new = dh_total * z + jnp.dot(
+            dgates_h, w_hh.T, preferred_element_type=jnp.float32)
+        dw_acc = dw_acc + jnp.dot(
+            h_prev.T, dgates_h, preferred_element_type=jnp.float32)
+        db_acc = db_acc + jnp.sum(dgates_h, axis=0, keepdims=True)
+        return dh_new, dw_acc, db_acc
+
+    dh, dw_acc, db_acc = jax.lax.fori_loop(
+        0, t_block, body,
+        (dh_scratch[:], jnp.zeros_like(dwhh_ref[0]),
+         jnp.zeros_like(dbhh_ref[0])))
+    dh_scratch[:] = dh
+    dwhh_ref[0] += dw_acc
+    dbhh_ref[0] += db_acc
+
+    @pl.when(t_idx == nt - 1)
+    def _write_dh0():
+        dh0_ref[0] = dh_scratch[:]
+
+
+def _gru_scan_pallas_bwd(xw, w_hh, b_hh, h0, y, g, interpret=False,
+                         block_b=32, block_t=32):
+    """Backward pass as one Pallas kernel launch.
+
+    Returns (dxw, dw_hh, db_hh, dh0) for cotangent ``g`` w.r.t. the
+    forward outputs ``y``.
+    """
+    d, b, t, three_h = xw.shape
+    h = three_h // 3
+    block_b = min(block_b, b)
+    block_t = min(block_t, t)
+    h_prev = jnp.concatenate([h0[:, :, None, :], y[:, :, :-1, :]], axis=2)
+    t_pad = (-t) % block_t
+    if t_pad:
+        pad = ((0, 0), (0, 0), (0, t_pad), (0, 0))
+        xw = jnp.pad(xw, pad)
+        h_prev = jnp.pad(h_prev, pad)
+        g = jnp.pad(g, pad)
+    tt = t + t_pad
+    nt = tt // block_t
+    grid = (d, pl.cdiv(b, block_b), nt)
+    kernel = functools.partial(
+        _gru_bwd_kernel, t_block=block_t, hidden=h)
+    # time blocks are visited in REVERSE (the recurrence runs backward)
+    rev = lambda di, bi, ti: (di, bi, nt - 1 - ti, 0)
+    in_specs = [
+        pl.BlockSpec((1, block_b, block_t, three_h), rev),        # xw
+        pl.BlockSpec((1, block_b, block_t, h), rev),              # h_prev
+        pl.BlockSpec((1, h, three_h), lambda di, bi, ti: (di, 0, 0)),
+        pl.BlockSpec((1, 1, three_h), lambda di, bi, ti: (di, 0, 0)),
+        pl.BlockSpec((1, block_b, block_t, h), rev),              # g
+    ]
+    out_specs = [
+        pl.BlockSpec((1, block_b, block_t, three_h), rev),        # dxw
+        pl.BlockSpec((1, h, three_h), lambda di, bi, ti: (di, 0, 0)),
+        pl.BlockSpec((1, 1, three_h), lambda di, bi, ti: (di, 0, 0)),
+        pl.BlockSpec((1, block_b, h), lambda di, bi, ti: (di, bi, 0)),
+    ]
+    if pltpu is None:  # pragma: no cover
+        raise RuntimeError('pallas TPU support unavailable')
+    dxw, dw_hh, db_hh, dh0 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((d, b, tt, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((d, h, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((d, b, h), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_b, h), jnp.float32)],
+        interpret=interpret,
+    )(xw.astype(jnp.float32), h_prev.astype(jnp.float32),
+      w_hh.astype(jnp.float32),
+      b_hh.reshape(d, 1, three_h).astype(jnp.float32),
+      g.astype(jnp.float32))
+    return (dxw[:, :, :t, :], dw_hh, db_hh.reshape(d, three_h), dh0)
 
 
 def gru_scan_reference(xw, w_hh, b_hh, h0):
@@ -168,16 +300,16 @@ def gru_scan(xw, w_hh, b_hh, h0, interpret=False):
 
 def _gru_scan_fwd(xw, w_hh, b_hh, h0, interpret=False):
     y = _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=interpret)
-    return y, (xw, w_hh, b_hh, h0)
+    return y, (xw, w_hh, b_hh, h0, y)
 
 
 def _gru_scan_bwd(interpret, res, g):
-    # backward = autodiff of the scan path (recomputes the forward);
-    # keeps training correct while the kernel speeds up forward-only
-    # workloads
-    xw, w_hh, b_hh, h0 = res
-    _, vjp = jax.vjp(_gru_scan_reference_d, xw, w_hh, b_hh, h0)
-    return vjp(g)
+    # backward = second Pallas kernel (reverse sweep, gates recomputed
+    # from the saved outputs): the whole recurrence stays TWO kernel
+    # launches per training step instead of ~2 x T x ~15 scan ops
+    xw, w_hh, b_hh, h0, y = res
+    return _gru_scan_pallas_bwd(xw, w_hh, b_hh, h0, y, g,
+                                interpret=interpret)
 
 
 gru_scan.defvjp(_gru_scan_fwd, _gru_scan_bwd)

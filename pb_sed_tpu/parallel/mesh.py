@@ -78,3 +78,29 @@ def shard_device_batch(batch, mesh, axis_name='data'):
         if isinstance(value, (np.ndarray, jax.Array)):
             out[key] = jax.device_put(value, sharding)
     return out
+
+
+def make_global_batch(batch, mesh, axis_name='data'):
+    """Host-local numpy batch slices -> GLOBAL sharded jax.Arrays.
+
+    In a multi-process run each host holds only its shard of the global
+    batch (``DataFetcher`` shard modes); jit with global ``in_shardings``
+    needs globally-shaped arrays, so the local slices are assembled with
+    ``jax.make_array_from_process_local_data`` (data stays on the local
+    devices; only metadata is global). Single-process: plain device_put.
+    """
+    sharding = batch_sharding(mesh, axis_name)
+    multiprocess = jax.process_count() > 1
+    out = {}
+    for key, value in batch.items():
+        if not isinstance(value, (np.ndarray, jax.Array)) and not (
+                isinstance(value, (int, float))
+                and not isinstance(value, bool)):
+            continue
+        value = np.asarray(value)
+        if multiprocess and value.ndim >= 1:
+            out[key] = jax.make_array_from_process_local_data(
+                sharding, value)
+        else:
+            out[key] = jax.device_put(value)
+    return out

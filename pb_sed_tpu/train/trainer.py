@@ -348,7 +348,7 @@ class Trainer(Configurable):
         mesh_size = (len(self.mesh.devices.flat)
                      if self.mesh is not None else 1)
         batch, _ = pad_batch_to_multiple(batch, mesh_size)
-        device_batch = _device_batch(batch)
+        device_batch = _device_batch(batch, self.mesh)
         if self._device_step_state is None:
             self._sync_step_state()
         rng, iteration, lr_scale = self._device_step_state
@@ -439,7 +439,7 @@ class Trainer(Configurable):
                      if self.mesh is not None else 1)
         for batch in hook['validate_set']:
             batch, _ = pad_batch_to_multiple(batch, mesh_size)
-            device_batch = _device_batch(batch)
+            device_batch = _device_batch(batch, self.mesh)
             loss, scalars, buffers, images = self._val_fn(
                 self.model.variables, device_batch)
             _merge_summary(summary, self.model, loss, scalars, buffers,
@@ -500,14 +500,16 @@ class Trainer(Configurable):
         out = self._step_fn(
             jax.tree.map(jnp.copy, self.model.variables),
             jax.tree.map(jnp.copy, self.opt_state),
-            _device_batch(tbatch), jnp.copy(rng), iteration, lr_scale)
+            _device_batch(tbatch, self.mesh), jnp.copy(rng), iteration,
+            lr_scale)
         loss = out[4]
         assert np.isfinite(float(loss)), float(loss)
         if validate_set is not None:
             vbatch = next(iter(validate_set))
             vbatch, _ = pad_batch_to_multiple(vbatch, mesh_size)
             vloss, *_ = self._val_fn(
-                self.model.variables, _device_batch(vbatch))
+                self.model.variables,
+                _device_batch(vbatch, self.mesh))
             assert np.isfinite(float(vloss)), float(vloss)
         self._device_step_state = None  # reset device iteration counter
         print('Finished test run')
@@ -682,7 +684,11 @@ def _merge_summary(summary, model, loss, scalars, buffers, images):
     summary['images'] = {k: np.asarray(v) for k, v in images.items()}
 
 
-def _device_batch(batch):
+def _device_batch(batch, mesh=None):
+    if mesh is not None and jax.process_count() > 1:
+        # multi-process: assemble host-local shards into global arrays
+        from pb_sed_tpu.parallel.mesh import make_global_batch
+        return make_global_batch(batch, mesh)
     return {k: jnp.asarray(v) for k, v in batch.items()
             if isinstance(v, (np.ndarray, jnp.ndarray))
             or (isinstance(v, (int, float)) and not isinstance(v, bool))}

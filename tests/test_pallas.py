@@ -96,3 +96,30 @@ def test_gru_native_tpu():
     y = gru_scan(xw, w_hh, b_hh, h0, False)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                atol=1e-4)
+
+
+def test_gru_backward_multiblock_accumulation():
+    """dw_hh/db_hh accumulate across batch AND (reversed) time blocks;
+    time padding in the backward sweep stays inert."""
+    from pb_sed_tpu.ops.pallas.gru import (
+        _gru_scan_pallas, _gru_scan_pallas_bwd, _gru_scan_reference_d)
+    xw, w_hh, b_hh, h0 = make_inputs(d=2, b=8, t=21, h=8, seed=4)
+    y = _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=True,
+                         block_b=4, block_t=8)
+    np.testing.assert_allclose(
+        np.asarray(y),
+        np.asarray(_gru_scan_reference_d(xw, w_hh, b_hh, h0)), atol=1e-5)
+    rng = np.random.RandomState(5)
+    g = jnp.asarray(rng.randn(*y.shape).astype(np.float32))
+    dxw, dw, db, dh0 = _gru_scan_pallas_bwd(
+        xw, w_hh, b_hh, h0, y, g, interpret=True, block_b=4, block_t=8)
+    _, vjp = jax.vjp(_gru_scan_reference_d, xw, w_hh, b_hh, h0)
+    dxw_r, dw_r, db_r, dh0_r = vjp(g)
+    np.testing.assert_allclose(np.asarray(dxw), np.asarray(dxw_r),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_r),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(db_r),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dh0), np.asarray(dh0_r),
+                               atol=1e-4)
