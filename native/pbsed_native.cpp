@@ -12,10 +12,13 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libpbsed_native.so pbsed_native.cpp
 
+#include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <cmath>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -174,6 +177,29 @@ int pbsed_load_wav(const char* path, int target_rate, int peak_normalize,
   }
   memcpy(out, resampled.data(), resampled.size() * sizeof(float));
   return (int)resampled.size();
+}
+
+// Batched parallel load: decodes n files concurrently on a worker
+// pool (the host-side hot path when feeding large corpora). outs[i]
+// must hold max_out floats; lens[i] receives pbsed_load_wav's result
+// for file i (sample count or negative error code).
+void pbsed_load_wav_batch(const char** paths, int n, int target_rate,
+                          int peak_normalize, int num_threads,
+                          float** outs, long max_out, long* lens) {
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      lens[i] = pbsed_load_wav(paths[i], target_rate, peak_normalize,
+                               outs[i], max_out);
+    }
+  };
+  const int k = std::max(1, std::min(num_threads, n));
+  std::vector<std::thread> pool;
+  pool.reserve(k);
+  for (int t = 0; t < k; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
 }
 
 // Duration probe: returns sample count at native rate, fills *sample_rate.

@@ -141,7 +141,8 @@ class CRNN(SoundEventModel):
             'targets_strong': jnp.swapaxes(t_seg, 1, 2),
             'segment_mask': seg_valid & fully_labeled[:, None],
         }
-        images = {'features': x[:3], 'strong_targets': strong_targets[:3]}
+        images = {'features': x[:3] if x.ndim == 3 else x[:3, ..., 0],
+                  'strong_targets': strong_targets[:3]}
         return loss, (mutated, scalars, buffers, images)
 
     def review_from_aux(self, loss, aux):

@@ -216,7 +216,8 @@ class CRNN(SoundEventModel):
             'targets_weak': weak_targets,
             'labeled_mask': labeled,
         }
-        images = {'features': x[:3]}
+        # with delta channels x is (B, T, M, C): image the base channel
+        images = {'features': x[:3] if x.ndim == 3 else x[:3, ..., 0]}
         return loss, (mutated, scalars, buffers, images)
 
     def _clip_targets(self, targets):

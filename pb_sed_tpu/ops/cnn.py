@@ -271,14 +271,15 @@ class CNN(nn.Module, Configurable):
     def __call__(self, x, seq_len, condition=None, training=False):
         """
         Args:
-            x: (B, T, F) features.
+            x: (B, T, F) features, or (B, T, F, C) with delta channels
+                (``NormalizedLogMelExtractor.add_deltas``).
             seq_len: (B,) valid frames.
             condition: optional (B, K) conditioning vector (tag condition,
                 reference ``strong_label/crnn.py:85-86``).
         Returns: (B, T, C) embedding, updated seq_len.
         """
-        b, t, f = x.shape
-        h = x[..., None]  # (B, T, F, 1)
+        h = x[..., None] if x.ndim == 3 else x  # (B, T, F, C)
+        b, t, f = h.shape[:3]
         if self.positional_encoding:
             pos = jnp.linspace(-1., 1., f).reshape(1, 1, f, 1)
             h = jnp.concatenate(

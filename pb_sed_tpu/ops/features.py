@@ -30,6 +30,19 @@ from pb_sed_tpu.ops.stft import STFT
 from pb_sed_tpu.utils.config import Configurable
 
 
+def _time_delta(x, n=2):
+    """HTK-style delta along time: regression over +-n frames with edge
+    padding (the classic ``sum i*(x[t+i]-x[t-i]) / (2*sum i^2)``)."""
+    t = x.shape[1]
+    xp = jnp.pad(x, ((0, 0), (n, n), (0, 0)), mode='edge')
+    denom = 2. * sum(i * i for i in range(1, n + 1))
+    out = sum(
+        i * (xp[:, n + i:t + n + i] - xp[:, n - i:t + n - i])
+        for i in range(1, n + 1)
+    )
+    return out / denom
+
+
 class NormalizedLogMelExtractor(nn.Module, Configurable):
     """(B, S) audio or (B, T, F) magnitudes -> (B, T, M) normalized log-mel.
 
@@ -45,6 +58,11 @@ class NormalizedLogMelExtractor(nn.Module, Configurable):
     number_of_filters: int = 128
     lowest_frequency: float = 50.
     highest_frequency: float = None
+    # extra channels (reference padertorch surface consumed at
+    # ``weak_label/crnn.py:324-326``): time-derivative features stacked
+    # on a trailing channel axis -> (B, T, M, C)
+    add_deltas: bool = False
+    add_delta_deltas: bool = False
     # normalization
     norm_momentum: float = 0.95
     norm_eps: float = 1e-5
@@ -155,7 +173,16 @@ class NormalizedLogMelExtractor(nn.Module, Configurable):
 
         if training:
             y = self._augment(y, seq_len, mask)
-        return y * mask
+        y = y * mask
+        if self.add_deltas or self.add_delta_deltas:
+            channels = [y]
+            delta = _time_delta(y) * mask
+            if self.add_deltas:
+                channels.append(delta)
+            if self.add_delta_deltas:
+                channels.append(_time_delta(delta) * mask)
+            return jnp.stack(channels, axis=-1)  # (B, T, M, C)
+        return y
 
     def _augment(self, y, seq_len, mask):
         b, t, m = y.shape

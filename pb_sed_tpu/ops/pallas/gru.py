@@ -189,7 +189,10 @@ def _gru_bwd_kernel(xw_ref, hprev_ref, w_hh_ref, b_hh_ref, g_ref,
 
 
 def _gru_scan_pallas_bwd(xw, w_hh, b_hh, h0, y, g, interpret=False,
-                         block_b=32, block_t=32):
+                         block_b=32, block_t=16):
+    # block_t=16: the backward streams FIVE double-buffered slabs
+    # (xw, h_prev, g, dxw, plus accumulators); 32 overflowed the 16 MB
+    # scoped-VMEM budget by 1.63 MB on v5e (measured)
     """Backward pass as one Pallas kernel launch.
 
     Returns (dxw, dw_hh, db_hh, dh0) for cotangent ``g`` w.r.t. the

@@ -338,3 +338,25 @@ def test_native_audio_loader(tmp_path):
     ex = reader({'audio_path': str(tmp_path / 'n.wav')})
     assert ex['audio_data'].shape == (1, 8000)
     assert np.abs(ex['audio_data']).max() == pytest.approx(1., abs=1e-4)
+
+
+def test_native_batch_loader(tmp_path):
+    """C++ worker-pool batch decode matches the single-file path."""
+    from pb_sed_tpu.data import native
+    from tests.util_synth import write_wav
+    if not native.available():
+        pytest.skip('native library unavailable')
+    rng = np.random.RandomState(11)
+    paths = []
+    for i in range(6):
+        path = tmp_path / f'clip{i}.wav'
+        write_wav(path, 0.3 * rng.randn(4000 + 100 * i))
+        paths.append(path)
+    paths.append(tmp_path / 'missing.wav')  # per-file failure tolerated
+    batch = native.load_wav_batch(paths, num_threads=4)
+    assert batch is not None and len(batch) == 7
+    assert batch[-1] is None
+    for i, path in enumerate(paths[:-1]):
+        single = native.load_wav(path)
+        np.testing.assert_array_equal(batch[i], single)
+        assert batch[i].shape == (1, 4000 + 100 * i)

@@ -179,3 +179,29 @@ def test_strong_model():
     b2 = {**batch, 'tag_condition': 1. - batch['tag_condition']}
     y2, _ = model.sound_event_detection(b2)
     assert np.abs(y2 - y).max() > 1e-6
+
+
+def test_weak_model_with_delta_channels():
+    """add_deltas/add_delta_deltas stack derivative channels that flow
+    through the CNN2d tower (reference surface
+    ``weak_label/crnn.py:324-326``)."""
+    config = tiny_weak_config()
+    config['feature_extractor']['add_deltas'] = True
+    config['feature_extractor']['add_delta_deltas'] = True
+    model = weak_label.CRNN.from_config(config)
+    rng = np.random.RandomState(5)
+    batch = {
+        'stft': np.abs(rng.randn(2, 15, 257, 2)).astype(np.float32),
+        'seq_len': np.array([15, 12], dtype=np.int32),
+        'weak_targets': np.zeros((2, 10), np.float32),
+    }
+    model.init_variables(batch, seed=0)
+    x, seq_len = model.module.apply(
+        model.variables, batch, training=False,
+        method=type(model.module).features)
+    assert x.shape == (2, 15, 32, 3), x.shape  # base + delta + ddelta
+    # deltas of a masked (padded) region stay zero
+    assert float(np.abs(np.asarray(x[1, 12:])).max()) == 0.
+    y_fwd, y_bwd, seq_len_y, *_ = model.module.apply(
+        model.variables, batch, training=False)
+    assert y_fwd.shape[0] == 2 and np.isfinite(np.asarray(y_fwd)).all()
