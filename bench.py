@@ -236,7 +236,10 @@ def lane_profile(results):
     for _ in range(2):
         trainer.train_step(batch)
     jax.block_until_ready(trainer.model.variables)
-    logdir.mkdir(exist_ok=True)
+    if logdir.exists():  # stale traces would skew the parsed medians
+        import shutil
+        shutil.rmtree(logdir)
+    logdir.mkdir()
     jax.profiler.start_trace(str(logdir))
     for _ in range(3):
         trainer.train_step(batch)
@@ -306,9 +309,9 @@ def lane_pallas(results):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('--lanes', default='train,ensemble,host,profile',
-                        help='comma list: train,ensemble,host,profile,'
-                             'pallas')
+    parser.add_argument(
+        '--lanes', default='train,ensemble,host,profile,pallas',
+        help='comma list: train,ensemble,host,profile,pallas')
     args = parser.parse_args()
     lanes = args.lanes.split(',')
     sys.path.insert(0, '.')

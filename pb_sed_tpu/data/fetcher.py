@@ -120,6 +120,8 @@ class DataFetcher(Configurable):
     num_shards: int = None
     shard_index: int = None
     shard_level: str = 'batch'         # 'batch' (exact) | 'example'
+    # batch-level sharding needs IDENTICAL shuffles on every host
+    shard_shuffle_seed: int = 0
     # wired by the provider: STFT geometry config for exact waveform padding
     stft: dict = None
 
@@ -149,7 +151,11 @@ class DataFetcher(Configurable):
             from pb_sed_tpu.data.lazy import HashShardDataset
             dataset = HashShardDataset(dataset, num_shards, shard_index)
         if self.global_shuffle:
-            dataset = dataset.shuffle(reshuffle=True)
+            rng = None
+            if num_shards > 1 and not sharded_examples:
+                # every host must assemble the identical global batch
+                rng = np.random.RandomState(self.shard_shuffle_seed)
+            dataset = dataset.shuffle(reshuffle=True, rng=rng)
         if self.prefetch_workers > 0:
             dataset = dataset.prefetch(
                 self.prefetch_workers, 2 * self.prefetch_workers)

@@ -28,10 +28,28 @@ from pb_sed_tpu.utils.config import Configurable
 _SCAN_UNROLL = 8  # amortize TPU loop overhead over several timesteps
 
 
-def _pallas_interpret():
-    """Pallas runs natively on TPU; interpreter mode elsewhere (tests)."""
+_PALLAS_MODE = 'auto'  # 'auto' | 'force_interpret' (tests) | 'off'
+
+
+def set_pallas_mode(mode):
+    """Test/debug hook: 'auto' uses the kernels on a real TPU only,
+    'force_interpret' runs them in the Pallas interpreter (CPU tests),
+    'off' disables them even on TPU."""
+    global _PALLAS_MODE
+    assert mode in ('auto', 'force_interpret', 'off'), mode
+    _PALLAS_MODE = mode
+
+
+def _pallas_enabled():
+    """Returns (enabled, interpret). The interpreter would crawl through
+    production CPU runs, so 'auto' enables the kernels on TPU only —
+    ``use_pallas=True`` elsewhere falls back to the scan path."""
+    if _PALLAS_MODE == 'force_interpret':
+        return True, True
+    if _PALLAS_MODE == 'off':
+        return False, False
     import jax as _jax
-    return _jax.default_backend() != 'tpu'
+    return _jax.default_backend() == 'tpu', False
 
 
 class GRULayer(nn.Module):
@@ -67,9 +85,11 @@ class GRULayer(nn.Module):
         if h0 is None:
             h0 = jnp.zeros((b, hdim), dtype=jnp.float32)
         if self.use_pallas:
-            from pb_sed_tpu.ops.pallas.gru import gru_scan
-            return gru_scan(xw[None], w_hh[None], b_hh[None], h0[None],
-                            _pallas_interpret())[0]
+            enabled, interpret = _pallas_enabled()
+            if enabled:
+                from pb_sed_tpu.ops.pallas.gru import gru_scan
+                return gru_scan(xw[None], w_hh[None], b_hh[None],
+                                h0[None], interpret)[0]
         w_hh_c = w_hh.astype(jnp.bfloat16)
 
         def step(h, xw_t):
@@ -121,11 +141,13 @@ class BiGRULayer(nn.Module):
             preferred_element_type=jnp.float32) + b_ih[:, None]
         h0 = jnp.zeros((2, b, hdim), dtype=jnp.float32)
         if self.use_pallas:
-            from pb_sed_tpu.ops.pallas.gru import gru_scan
-            ys2 = gru_scan(xw, w_hh, b_hh[:, 0], h0, _pallas_interpret())
-            fwd = ys2[0]
-            bwd = reverse_sequence(ys2[1], seq_len, axis=1)
-            return jnp.concatenate([fwd, bwd], axis=-1)
+            enabled, interpret = _pallas_enabled()
+            if enabled:
+                from pb_sed_tpu.ops.pallas.gru import gru_scan
+                ys2 = gru_scan(xw, w_hh, b_hh[:, 0], h0, interpret)
+                fwd = ys2[0]
+                bwd = reverse_sequence(ys2[1], seq_len, axis=1)
+                return jnp.concatenate([fwd, bwd], axis=-1)
         w_hh_c = w_hh.astype(jnp.bfloat16)
 
         def step(h, xw_t):  # h: (2, B, H), xw_t: (2, B, 3H)

@@ -63,8 +63,30 @@ def test_gru_kernel_gradients_flow():
 
 
 def test_stacked_gru_use_pallas_wiring():
-    """StackedGRU(use_pallas=True) selects the kernel (interpreter mode
-    on CPU) and matches the scan path within bf16-vs-f32 tolerance."""
+    """StackedGRU(use_pallas=True) selects the kernel (forced to
+    interpreter mode on CPU) and matches the scan path within
+    bf16-vs-f32 tolerance; in default 'auto' mode CPU falls back to the
+    scan path exactly."""
+    from pb_sed_tpu.ops import rnn as rnn_mod
+    from pb_sed_tpu.ops.rnn import StackedGRU
+    rnn_mod.set_pallas_mode('force_interpret')
+    try:
+        _run_pallas_wiring_check()
+    finally:
+        rnn_mod.set_pallas_mode('auto')
+    # 'auto' on CPU: use_pallas falls back to the scan path bit-exactly
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 21, 12).astype(np.float32))
+    seq_len = jnp.asarray([21, 15])
+    scan_gru = StackedGRU(hidden_size=16, num_layers=1)
+    variables = scan_gru.init(jax.random.PRNGKey(0), x, seq_len)
+    y_scan = scan_gru.apply(variables, x, seq_len)
+    y_auto = StackedGRU(hidden_size=16, num_layers=1,
+                        use_pallas=True).apply(variables, x, seq_len)
+    np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y_scan))
+
+
+def _run_pallas_wiring_check():
     from pb_sed_tpu.ops.rnn import StackedGRU
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(2, 21, 12).astype(np.float32))
