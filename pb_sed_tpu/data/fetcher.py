@@ -144,18 +144,20 @@ class DataFetcher(Configurable):
         sharded_examples = (
             num_shards > 1 and (self.shard_level == 'example'
                                 or self.batch_size is None))
+        if self.global_shuffle:
+            # shuffle BEFORE hash-sharding: the shard stream is
+            # iterator-only, and hash membership is order-independent
+            rng = None
+            if num_shards > 1:
+                # every host must draw the identical permutation
+                rng = np.random.RandomState(self.shard_shuffle_seed)
+            dataset = dataset.shuffle(reshuffle=True, rng=rng)
         if sharded_examples:
             # hash-of-id membership: positional round-robin can alias
             # with the proportional source interleave and starve a shard
             # of an entire source dataset
             from pb_sed_tpu.data.lazy import HashShardDataset
             dataset = HashShardDataset(dataset, num_shards, shard_index)
-        if self.global_shuffle:
-            rng = None
-            if num_shards > 1 and not sharded_examples:
-                # every host must assemble the identical global batch
-                rng = np.random.RandomState(self.shard_shuffle_seed)
-            dataset = dataset.shuffle(reshuffle=True, rng=rng)
         if self.prefetch_workers > 0:
             dataset = dataset.prefetch(
                 self.prefetch_workers, 2 * self.prefetch_workers)

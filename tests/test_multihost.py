@@ -109,3 +109,23 @@ def test_unsharded_matches_old_behavior():
     ids = [i for b in batches for i in b['example_id']]
     assert sorted(ids, key=lambda s: int(s[1:])) == [
         f'e{i}' for i in range(8)]
+
+
+def test_example_sharding_with_global_shuffle():
+    """Regression: global_shuffle after hash-sharding crashed (the shard
+    stream is iterator-only); shuffling happens upstream now."""
+    examples = make_examples(16)
+    for ex in examples:
+        ex['seq_len'] = 10
+        ex['seq_len_samples'] = 500
+        ex['audio_data'] = np.zeros(500, np.float32)
+    shards = [
+        fetch(examples, batch_size=4, num_shards=2, shard_index=i,
+              shard_level='example', global_shuffle=True,
+              shard_shuffle_seed=7)
+        for i in range(2)
+    ]
+    ids = [i for batches in shards for b in batches
+           for i in b['example_id']]
+    assert len(ids) == len(set(ids))  # disjoint shards
+    assert len(ids) >= 12  # most examples survive (complete local batches)
