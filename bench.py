@@ -324,11 +324,20 @@ def main():
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.)
     except Exception:  # noqa: BLE001 — older jax without the knobs
         pass
+    import os
+    budget_s = float(os.environ.get('BENCH_BUDGET_S', 2700))
+    t_start = time.perf_counter()
     results = {}
     for name, fn in (('train', lane_train), ('ensemble', lane_ensemble),
                      ('host', lane_host), ('profile', lane_profile),
                      ('pallas', lane_pallas)):
         if name not in lanes:
+            continue
+        if name != 'train' and time.perf_counter() - t_start > budget_s:
+            # never let a slow secondary lane starve the final JSON
+            print(f'lane {name} skipped: bench budget exhausted',
+                  file=sys.stderr)
+            results[f'{name}_skipped'] = 'budget'
             continue
         t_lane = time.perf_counter()
         try:

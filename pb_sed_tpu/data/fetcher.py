@@ -127,11 +127,16 @@ class DataFetcher(Configurable):
 
     def _shard_plan(self):
         num_shards, shard_index = self.num_shards, self.shard_index
-        if num_shards is None:
+        if num_shards is None or (num_shards > 1 and shard_index is None):
+            # shard_index inferred INDEPENDENTLY of num_shards: a shared
+            # config may pin num_shards while every host must still
+            # discover its own index
             try:
                 import jax
-                num_shards = jax.process_count()
-                shard_index = jax.process_index()
+                if num_shards is None:
+                    num_shards = jax.process_count()
+                if shard_index is None:
+                    shard_index = jax.process_index()
             except Exception:
                 num_shards, shard_index = 1, 0
         return num_shards, (shard_index or 0)
@@ -152,20 +157,26 @@ class DataFetcher(Configurable):
                 # every host must draw the identical permutation
                 rng = np.random.RandomState(self.shard_shuffle_seed)
             dataset = dataset.shuffle(reshuffle=True, rng=rng)
-        if sharded_examples:
-            # hash-of-id membership: positional round-robin can alias
-            # with the proportional source interleave and starve a shard
-            # of an entire source dataset
-            from pb_sed_tpu.data.lazy import HashShardDataset
-            dataset = HashShardDataset(dataset, num_shards, shard_index)
         if self.prefetch_workers > 0:
             dataset = dataset.prefetch(
                 self.prefetch_workers, 2 * self.prefetch_workers)
         if batched_input:
             dataset = dataset.unbatch()
+        if sharded_examples:
+            # hash-of-id membership (positional round-robin can alias
+            # with the proportional source interleave and starve a shard
+            # of an entire source dataset); applied AFTER unbatch so
+            # segmented inputs hash per segment dict, with the segment
+            # suffix stripped so all segments of a clip share a shard
+            from pb_sed_tpu.data.lazy import HashShardDataset
+            dataset = HashShardDataset(dataset, num_shards, shard_index)
         if self.local_shuffle_buffer_size > 0 and not self.global_shuffle:
+            rng = None
+            if num_shards > 1 and not sharded_examples:
+                # batch-level sharding: identical buffers on every host
+                rng = np.random.RandomState(self.shard_shuffle_seed)
             dataset = dataset.shuffle(
-                buffer_size=self.local_shuffle_buffer_size)
+                buffer_size=self.local_shuffle_buffer_size, rng=rng)
         if self.batch_size is None:
             return dataset
         if sharded_examples:
@@ -179,6 +190,11 @@ class DataFetcher(Configurable):
             }
             diversity = min(self.min_label_diversity_in_batch, batch_size)
         else:
+            if num_shards > 1:
+                # the global-slice would silently drop len % n examples
+                # from EVERY batch otherwise
+                assert self.batch_size % num_shards == 0, (
+                    self.batch_size, num_shards)
             batch_size = self.batch_size
             quotas = self.min_dataset_examples_in_batch
             diversity = self.min_label_diversity_in_batch

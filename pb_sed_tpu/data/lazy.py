@@ -372,8 +372,13 @@ class HashShardDataset(Dataset):
         self.parent = parent
         self.num_shards = num_shards
         self.shard_index = shard_index
-        self._hash = lambda ex: zlib.crc32(
-            str(ex['example_id']).encode()) % num_shards
+
+        def membership(ex):
+            # segments of one clip share a shard: hash the base clip id
+            clip_id = str(ex['example_id']).split('_!segment!_')[0]
+            return zlib.crc32(clip_id.encode()) % num_shards
+
+        self._hash = membership
 
     def __iter__(self):
         for ex in self.parent:

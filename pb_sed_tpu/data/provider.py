@@ -126,11 +126,16 @@ class EpochPlan:
                 streams.append((dataset[members], int(factor) * tiles))
         return cls(streams)
 
-    def materialize(self, shuffle):
+    def materialize(self, shuffle, seed=None):
+        """``seed`` makes every per-source reshuffle deterministic (one
+        derived stream per source) — REQUIRED for batch-level multi-host
+        sharding, where every host must assemble the identical epoch."""
         parts = []
-        for dataset, tiles in self.streams:
+        for idx, (dataset, tiles) in enumerate(self.streams):
             if shuffle:
-                dataset = dataset.shuffle(reshuffle=True)
+                rng = (np.random.RandomState(seed + idx)
+                       if seed is not None else None)
+                dataset = dataset.shuffle(reshuffle=True, rng=rng)
             parts.append(dataset.tile(tiles))
         return lazy.intersperse(*parts)
 
@@ -157,6 +162,13 @@ class DataProvider(Configurable):
     scale_sampling_fn: Callable = None
     mix_interval: float = 1.5
     mix_fn: Callable = None
+    # multi-host knobs: seed for the per-source epoch reshuffles
+    # (batch-level sharding needs identical epochs on every host), and
+    # an optional (num_shards, shard_index) pre-DECODE shard filter by
+    # clip-id hash (the path for decode-bound corpora — the fetcher's
+    # example-level sharding runs after the audio map)
+    epoch_shuffle_seed: int = None
+    raw_shard: tuple = None
 
     def __post_init__(self):
         assert self.json_path is not None, 'json_path required'
@@ -241,6 +253,18 @@ class DataProvider(Configurable):
                 train and self.discard_labelless_train_examples),
             filter_example_ids=filter_example_ids,
         )
+        if self.raw_shard is not None:
+            # pre-decode shard filter: membership by clip-id hash, as an
+            # eager index filter so the source stays indexable for the
+            # epoch plan; the decode map below then only ever touches
+            # this host's examples
+            import zlib
+            num_shards, shard_index = self.raw_shard
+            raw = raw.filter(
+                lambda ex: zlib.crc32(
+                    str(ex['example_id']).encode()) % num_shards
+                == shard_index,
+                lazy=False)
         decoded = raw.map(self.audio_reader)
         if isinstance(name_or_dataset, str):
             if name_or_dataset in (self.cached_datasets or ()):
@@ -292,7 +316,8 @@ class DataProvider(Configurable):
             spec = [(names_or_datasets, 1)]
         if train:
             plan = self._train_plan(spec, filter_example_ids)
-            stream = plan.materialize(shuffle=True)
+            stream = plan.materialize(
+                shuffle=True, seed=self.epoch_shuffle_seed)
             stream = self._augment(stream)
         else:
             plan = EpochPlan.build([

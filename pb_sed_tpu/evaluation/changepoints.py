@@ -40,25 +40,28 @@ def level_detections(scores_col, timestamps):
     scores_col = np.asarray(scores_col, dtype=float)
     timestamps = np.asarray(timestamps, dtype=float)
     levels = np.unique(scores_col)
-    # (U+1, T) "above" masks: row 0 = base (all True), row i+1 = > levels[i]
-    above = np.concatenate((
-        np.ones((1, scores_col.shape[0]), dtype=bool),
-        scores_col[None, :] > levels[:, None],
-    ))
-    edges = np.diff(above.astype(np.int8), axis=1,
-                    prepend=np.zeros((above.shape[0], 1), np.int8),
-                    append=np.zeros((above.shape[0], 1), np.int8))
-    on_rows, on_t = np.nonzero(edges == 1)
-    off_rows, off_t = np.nonzero(edges == -1)
-    # np.nonzero returns row-major order: group by row via searchsorted
-    n_rows = above.shape[0]
-    on_bounds = np.searchsorted(on_rows, np.arange(n_rows + 1))
-    off_bounds = np.searchsorted(off_rows, np.arange(n_rows + 1))
+    t = scores_col.shape[0]
+    # thresholds row 0 = base (below every value -> all frames);
+    # processed in level CHUNKS so memory stays O(chunk x T) even for
+    # long-form clips where U ~ T (continuous neural scores)
+    thresholds = np.concatenate(([levels[0] - 1.], levels))
     detections = []
-    for i in range(n_rows):
-        ons = timestamps[on_t[on_bounds[i]:on_bounds[i + 1]]]
-        offs = timestamps[off_t[off_bounds[i]:off_bounds[i + 1]]]
-        detections.append(list(zip(ons.tolist(), offs.tolist())))
+    chunk = max(1, min(len(thresholds), 4_000_000 // max(t, 1)))
+    for start in range(0, len(thresholds), chunk):
+        block = thresholds[start:start + chunk]
+        above = scores_col[None, :] > block[:, None]  # (chunk, T)
+        edges = np.diff(above.astype(np.int8), axis=1,
+                        prepend=np.zeros((len(block), 1), np.int8),
+                        append=np.zeros((len(block), 1), np.int8))
+        on_rows, on_t = np.nonzero(edges == 1)
+        off_rows, off_t = np.nonzero(edges == -1)
+        # np.nonzero returns row-major order: group via searchsorted
+        on_bounds = np.searchsorted(on_rows, np.arange(len(block) + 1))
+        off_bounds = np.searchsorted(off_rows, np.arange(len(block) + 1))
+        for i in range(len(block)):
+            ons = timestamps[on_t[on_bounds[i]:on_bounds[i + 1]]]
+            offs = timestamps[off_t[off_bounds[i]:off_bounds[i + 1]]]
+            detections.append(list(zip(ons.tolist(), offs.tolist())))
     return levels, detections
 
 

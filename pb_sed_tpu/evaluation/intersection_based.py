@@ -295,15 +295,24 @@ def psds(scores, ground_truth, audio_durations, *, dtc_threshold,
             tprs[ti] = tps / np.maximum(n_ref, 1)
             np.fill_diagonal(cts, 0.)
             efprs[ti] = efpr_of(fps, cts)
-        for ki, c in enumerate(classes):
-            order = np.argsort(efprs[:, ki], kind='mergesort')
-            classwise_rocs[c] = (
-                np.maximum.accumulate(tprs[order, ki]),  # monotone
-                efprs[order, ki], thresholds[order])
+        classwise_rocs = _classwise_rocs_from_grid(
+            tprs, efprs, thresholds, classes)
 
     value, (grid, etpr) = _psds_from_rocs(
         classwise_rocs, classes, alpha_st, max_efpr)
     return value, (grid, etpr), classwise_rocs
+
+
+def _classwise_rocs_from_grid(tprs, efprs, thresholds, classes):
+    """(T, K) tpr/efpr arrays over a shared threshold grid -> per-class
+    ROC tuples (tpr monotone-staircase over efpr-sorted points)."""
+    classwise = {}
+    for ki, c in enumerate(classes):
+        order = np.argsort(efprs[:, ki], kind='mergesort')
+        classwise[c] = (
+            np.maximum.accumulate(tprs[order, ki]),
+            efprs[order, ki], thresholds[order])
+    return classwise
 
 
 def _psds_from_rocs(classwise_rocs, classes, alpha_st, max_efpr):
@@ -361,6 +370,7 @@ def psds_from_operating_points(operating_points, ground_truth,
     thresholds = sorted(operating_points.keys())
     tprs = np.zeros((len(thresholds), k))
     efprs = np.zeros((len(thresholds), k))
+    rnd = lambda v: v  # detection TSVs carry already-rounded times
     for ti, thr in enumerate(thresholds):
         detections = operating_points[thr]
         tps = np.zeros(k)
@@ -374,33 +384,14 @@ def psds_from_operating_points(operating_points, ground_truth,
             det_by_class = {}
             for on, off, lb in events:
                 det_by_class.setdefault(lb, []).append((on, off))
-            for ki, c in enumerate(classes):
-                dets = det_by_class.get(c, [])
-                refs = gt_by_class.get(c, [])
-                valid = []
-                for d_on, d_off in dets:
-                    dur = max(d_off - d_on, 1e-12)
-                    inter = sum(_intersection(d_on, d_off, r_on, r_off)
-                                for r_on, r_off in refs)
-                    if inter / dur >= dtc_threshold:
-                        valid.append((d_on, d_off))
-                    else:
-                        fps[ki] += 1
-                        if cttc_threshold is not None:
-                            for kj, c2 in enumerate(classes):
-                                if c2 == c:
-                                    continue
-                                refs2 = gt_by_class.get(c2, [])
-                                inter2 = sum(
-                                    _intersection(d_on, d_off, r_on, r_off)
-                                    for r_on, r_off in refs2)
-                                if inter2 / dur >= cttc_threshold:
-                                    cts[ki, kj] += 1
-                for r_on, r_off in refs:
-                    dur = max(r_off - r_on, 1e-12)
-                    if _union_intersection(valid, r_on, r_off) / dur \
-                            >= gtc_threshold:
-                        tps[ki] += 1
+            for ki in range(k):
+                tp, fp, cts_row = _class_counts(
+                    det_by_class.get(classes[ki], []), gt_by_class,
+                    classes, ki, dtc_threshold, gtc_threshold,
+                    cttc_threshold, rnd)
+                tps[ki] += tp
+                fps[ki] += fp
+                cts[ki] += cts_row
         tprs[ti] = tps / np.maximum(n_ref, 1)
         efpr = fps / max(dataset_duration, 1e-12)
         if alpha_ct > 0. and cttc_threshold is not None and k > 1:
@@ -408,23 +399,10 @@ def psds_from_operating_points(operating_points, ground_truth,
             np.fill_diagonal(ctr, 0.)
             efpr = efpr + alpha_ct * ctr.sum(-1) / (k - 1)
         efprs[ti] = efpr
-    classwise = {}
-    for ki, c in enumerate(classes):
-        order = np.argsort(efprs[:, ki], kind='mergesort')
-        e = efprs[order, ki]
-        t = np.maximum.accumulate(tprs[order, ki])
-        classwise[c] = (t, e, np.asarray(thresholds)[order])
-    grid = np.unique(np.concatenate(
-        [roc[1] for roc in classwise.values()] + [[0.]]))
-    if max_efpr is not None:
-        grid = np.concatenate((grid[grid < max_efpr], [max_efpr]))
-    tpr_at = np.zeros((k, len(grid)))
-    for ki, c in enumerate(classes):
-        t, e, _ = classwise[c]
-        idx = np.searchsorted(e, grid, side='right') - 1
-        tpr_at[ki] = np.where(idx >= 0, t[np.clip(idx, 0, None)], 0.)
-    etpr = np.maximum(tpr_at.mean(0) - alpha_st * tpr_at.std(0), 0.)
-    value = staircase_auc(etpr, grid, max_efpr) / max_efpr
+    classwise = _classwise_rocs_from_grid(
+        tprs, efprs, np.asarray(thresholds), classes)
+    value, (grid, etpr) = _psds_from_rocs(
+        classwise, classes, alpha_st, max_efpr)
     return value, (grid, etpr), classwise
 
 

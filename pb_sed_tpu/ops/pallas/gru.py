@@ -21,12 +21,14 @@ inside the ~16 MB budget, independent of T.
 
 ``gru_scan(xw, w_hh, b_hh, h0)`` carries a leading DIRECTION axis so the
 fused bidirectional layer runs both directions in one kernel launch; it
-is numerically identical to the ``lax.scan`` path in ops/rnn.py (same
-torch gate ordering) and ``StackedGRU(use_pallas=True)`` selects it for
-the forward/inference path. Training: a ``jax.custom_vjp`` recomputes
-the forward with the scan path in the backward pass (the kernel itself
-has no hand-written VJP), so gradients flow but the speedup applies to
-forward-only workloads (ensemble inference, sliding-window SED).
+matches the ``lax.scan`` path in ops/rnn.py (same torch gate ordering)
+within MXU f32 accumulation drift, and ``StackedGRU(use_pallas=True)``
+selects it. Training runs a SECOND hand-written Pallas kernel as the
+``jax.custom_vjp`` backward (:func:`_gru_scan_pallas_bwd`): a reverse
+time-blocked sweep that recomputes the gates from the saved outputs —
+so a full training step spends TWO kernel launches per GRU instead of
+~2 x T x ~15 scan ops. Measured on v5e at flagship size: forward 2.28 ms
+vs 2.94 ms scan; forward+grad 4.31 ms vs 5.04 ms.
 """
 import functools
 
@@ -204,14 +206,20 @@ def _gru_scan_pallas_bwd(xw, w_hh, b_hh, h0, y, g, interpret=False,
     block_t = min(block_t, t)
     h_prev = jnp.concatenate([h0[:, :, None, :], y[:, :, :-1, :]], axis=2)
     t_pad = (-t) % block_t
-    if t_pad:
-        pad = ((0, 0), (0, 0), (0, t_pad), (0, 0))
+    # batch must ALSO pad to the block: the dw_hh/db_hh accumulation
+    # matmuls mix every row of a block, so out-of-bounds rows of a
+    # partial block would corrupt the weight gradients (zero rows
+    # contribute zero)
+    b_pad = (-b) % block_b
+    if t_pad or b_pad:
+        pad = ((0, 0), (0, b_pad), (0, t_pad), (0, 0))
         xw = jnp.pad(xw, pad)
         h_prev = jnp.pad(h_prev, pad)
         g = jnp.pad(g, pad)
     tt = t + t_pad
+    bb = b + b_pad
     nt = tt // block_t
-    grid = (d, pl.cdiv(b, block_b), nt)
+    grid = (d, bb // block_b, nt)
     kernel = functools.partial(
         _gru_bwd_kernel, t_block=block_t, hidden=h)
     # time blocks are visited in REVERSE (the recurrence runs backward)
@@ -237,10 +245,10 @@ def _gru_scan_pallas_bwd(xw, w_hh, b_hh, h0, y, g, interpret=False,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((d, b, tt, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((d, bb, tt, three_h), jnp.float32),
             jax.ShapeDtypeStruct((d, h, three_h), jnp.float32),
             jax.ShapeDtypeStruct((d, 1, three_h), jnp.float32),
-            jax.ShapeDtypeStruct((d, b, h), jnp.float32),
+            jax.ShapeDtypeStruct((d, bb, h), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((block_b, h), jnp.float32)],
         interpret=interpret,
@@ -248,7 +256,8 @@ def _gru_scan_pallas_bwd(xw, w_hh, b_hh, h0, y, g, interpret=False,
       w_hh.astype(jnp.float32),
       b_hh.reshape(d, 1, three_h).astype(jnp.float32),
       g.astype(jnp.float32))
-    return (dxw[:, :, :t, :], dw_hh, db_hh.reshape(d, three_h), dh0)
+    return (dxw[:, :b, :t, :], dw_hh, db_hh.reshape(d, three_h),
+            dh0[:, :b])
 
 
 def gru_scan_reference(xw, w_hh, b_hh, h0):

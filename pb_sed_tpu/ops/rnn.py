@@ -181,11 +181,10 @@ def _stacked_orthogonal(key, shape, dtype=jnp.float32):
 class StackedGRU(nn.Module):
     """Multi-layer (optionally bidirectional) GRU over padded batches.
 
-    ``use_pallas`` selects the time-blocked Pallas recurrence kernel
-    (``ops/pallas/gru.py``) for the forward pass; gradients fall back to
-    the scan path via the kernel's custom VJP, so the flag is safe in
-    training but pays off on forward-only workloads (ensemble inference,
-    sliding-window SED).
+    ``use_pallas`` selects the time-blocked Pallas recurrence kernels
+    (``ops/pallas/gru.py``): one forward kernel and one hand-written
+    backward kernel (custom VJP), both faster than the scan path on TPU;
+    off-TPU the flag falls back to the scan path (``_pallas_enabled``).
     """
     hidden_size: int
     num_layers: int = 1

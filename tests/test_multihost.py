@@ -129,3 +129,52 @@ def test_example_sharding_with_global_shuffle():
            for i in b['example_id']]
     assert len(ids) == len(set(ids))  # disjoint shards
     assert len(ids) >= 12  # most examples survive (complete local batches)
+
+
+def test_batch_mode_requires_divisible_batch():
+    import pytest
+    examples = make_examples(8)
+    with pytest.raises(AssertionError):
+        fetch(examples, batch_size=5, num_shards=2, shard_index=0)
+
+
+def test_provider_raw_shard_filters_before_decode(tmp_path):
+    """DataProvider.raw_shard: pre-decode clip-id-hash filter — the
+    decode-bound multi-host path (each host decodes only its shard)."""
+    import zlib
+    from pb_sed_tpu.data.provider import DataProvider
+    from tests.util_synth import build_database
+    db, json_path = build_database(tmp_path)
+    decoded_ids = []
+
+    def make(shard):
+        config = DataProvider.get_config({
+            'json_path': str(json_path),
+            'train_set': {'train_strong': 1},
+            'validate_set': 'validation',
+            'min_audio_length': 0.2,
+            'storage_dir': str(tmp_path),
+            'raw_shard': shard,
+            'mix_interval': None,
+            'train_fetcher': {'batch_size': 2, 'prefetch_workers': 0},
+        })
+        provider = DataProvider.from_config(config)
+        reader = provider.audio_reader
+
+        def tracking_reader(example):
+            decoded_ids.append(example['example_id'])
+            return reader(example)
+
+        provider.audio_reader = tracking_reader
+        return provider
+
+    p0 = make([2, 0])
+    ids0 = {ex['example_id']
+            for ex in p0.prepare_audio({'train_strong': 1}, train=True)}
+    assert ids0  # shard non-empty with this fixture
+    assert all(
+        zlib.crc32(i.encode()) % 2 == 0 for i in ids0)
+    # the decode map only ever touched shard-0 examples
+    assert set(decoded_ids) <= {
+        i for i in decoded_ids if zlib.crc32(i.encode()) % 2 == 0}
+    assert all(zlib.crc32(i.encode()) % 2 == 0 for i in decoded_ids)
