@@ -337,8 +337,16 @@ class Trainer(Configurable):
             jax.block_until_ready(self.model.variables)
             jax.profiler.stop_trace()
             self._profiling = False
-            print(f'Profiler trace written to '
-                  f'{self.storage_dir / "profile"}')
+            logdir = self.storage_dir / 'profile'
+            print(f'Profiler trace written to {logdir}')
+            try:
+                from pb_sed_tpu.utils.xplane import device_step_times_ms
+                times = device_step_times_ms(logdir)
+                if times:
+                    print(f'Device time per step (trace): '
+                          f'{[round(t, 2) for t in sorted(times)]} ms')
+            except Exception:  # noqa: BLE001 — diagnostics only
+                pass
 
     def train_step(self, batch):
         self._ensure_ready(batch)

@@ -145,3 +145,22 @@ def test_gru_backward_multiblock_accumulation():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(dh0), np.asarray(dh0_r),
                                atol=1e-4)
+
+
+def test_gru_backward_partial_batch_block():
+    """Regression: out-of-bounds rows of a partial batch block used to
+    leak into the dw_hh/db_hh accumulation matmuls; the batch is now
+    zero-padded to the block size."""
+    from pb_sed_tpu.ops.pallas.gru import (
+        _gru_scan_pallas, _gru_scan_pallas_bwd, _gru_scan_reference_d)
+    xw, w_hh, b_hh, h0 = make_inputs(d=1, b=6, t=11, h=8, seed=6)
+    y = _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=True,
+                         block_b=4, block_t=8)
+    rng = np.random.RandomState(7)
+    g = jnp.asarray(rng.randn(*y.shape).astype(np.float32))
+    grads = _gru_scan_pallas_bwd(
+        xw, w_hh, b_hh, h0, y, g, interpret=True, block_b=4, block_t=8)
+    _, vjp = jax.vjp(_gru_scan_reference_d, xw, w_hh, b_hh, h0)
+    for got, ref in zip(grads, vjp(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
