@@ -2,8 +2,8 @@
 through the custom VJP, and wiring into StackedGRU.
 
 CPU runs use interpreter mode; ``test_gru_native_tpu`` compiles the real
-kernel and is skipped off-TPU (exercised by ``bench.py --pallas-check``
-on the attached chip).
+kernel and is skipped off-TPU (the ``pallas`` lane of ``bench.py``
+exercises compile + parity + timing on the attached chip).
 """
 import jax
 import jax.numpy as jnp
