@@ -101,3 +101,86 @@ def test_fbcrnn_learns_synthetic_tagging(tmp_path):
     }
     f, p, r, thr, _ = clip_based.best_fscore(frames, tags_gt)
     assert f['macro_average'] > 0.85, f
+
+
+@pytest.mark.slow
+def test_bicrnn_learns_synthetic_frames(tmp_path):
+    """Strong-label path: the BiCRNN must learn frame-accurate activity
+    (catches strong-loss masking / target-alignment bugs)."""
+    from pb_sed_tpu.models import strong_label
+
+    db, json_path = build_database(
+        tmp_path / 'db', num_train=24, num_weak=0, num_validate=8,
+        clip_seconds=0.5)
+    config = DataProvider.get_config({
+        'json_path': str(json_path),
+        'train_set': {'train_strong': 1},
+        'validate_set': 'validation',
+        'min_audio_length': 0.2,
+        'storage_dir': str(tmp_path),
+        'train_transform': {
+            'stft': {'shift': 160, 'window_length': 480, 'size': 512},
+            'provide_strong_targets': True,
+            'anchor_sampling_fn': None,
+            'anchor_shift_sampling_fn': None,
+        },
+        'train_fetcher': {
+            'batch_size': 8, 'pad_to_multiple': 16,
+            'prefetch_workers': 0, 'drop_incomplete': True,
+        },
+        'test_fetcher': {
+            'batch_size': 8, 'pad_to_multiple': 16,
+            'prefetch_workers': 0,
+        },
+        'mix_interval': None,
+    })
+    provider = DataProvider.from_config(config)
+    provider.train_transform.label_encoder.initialize_labels(
+        dataset=provider.db.get_dataset('train_strong'))
+    provider.test_transform.label_encoder.initialize_labels()
+
+    model_config = strong_label.CRNN.get_config({
+        'tag_conditioning': False,
+        'feature_extractor': {
+            'sample_rate': 16000, 'stft_size': 512,
+            'stft_shift': 160, 'stft_window_length': 480,
+            'number_of_filters': 32,
+        },
+        'cnn': {
+            'cnn_2d': {'out_channels': [8, 8],
+                       'pool_size': [[2, 1], [2, 1]], 'kernel_size': 3},
+            'cnn_1d': {'out_channels': [16, 16], 'kernel_size': 3},
+        },
+        'rnn': {
+            'rnn': {'hidden_size': 32, 'num_layers': 1},
+            'output_net': {'out_channels': [16, 3], 'kernel_size': 1},
+        },
+    })
+    model = strong_label.CRNN.from_config(model_config)
+    trainer = Trainer(model, storage_dir=None,
+                      stop_trigger=(300, 'iteration'))
+    trainer.optimizer.lr = 3e-3
+    train_set = provider.get_train_set()
+    losses = []
+    while trainer.iteration < 300:
+        for batch in train_set:
+            if trainer.iteration >= 300:
+                break
+            losses.append(float(trainer.train_step(batch)))
+    assert np.mean(losses[-20:]) < 0.5 * np.mean(losses[:20]), (
+        np.mean(losses[:20]), np.mean(losses[-20:]))
+
+    # frame-level macro F1 over the held-out validation frames
+    from pb_sed_tpu.evaluation.instance_based import (
+        get_best_fscore_thresholds)
+    y_all, t_all = [], []
+    for batch in provider.get_validate_set():
+        y, seq_len = model.sound_event_detection(batch)  # (B, K, T)
+        targets = np.asarray(batch['strong_targets'])     # (B, K, T)
+        for i, n in enumerate(np.asarray(seq_len)):
+            y_all.append(np.asarray(y)[i, :, :n].T)       # (n, K)
+            t_all.append(targets[i, :, :n].T)
+    y_all = np.concatenate(y_all)
+    t_all = np.concatenate(t_all)
+    _, best_f, _, _ = get_best_fscore_thresholds(t_all, y_all)
+    assert float(np.mean(best_f)) > 0.7, best_f
