@@ -99,10 +99,14 @@ class StackedEnsemble:
                 # evaluates its LOCAL members with ordinary (non-grouped)
                 # convolutions and the member mean reduces over ICI with
                 # one pmean — this avoids the GSPMD grouped-conv rewrite
-                # that the vmapped lane can hit under sharding
+                # that the vmapped lane can hit under sharding. The BATCH
+                # axis additionally shards over the mesh's 'data' axis
+                # (SURVEY §2.4: inference segments/windows across chips).
                 from jax import shard_map
                 from jax.sharding import PartitionSpec as P
                 axis = self.ensemble_axis
+                data_axis = ('data' if 'data' in mesh.axis_names
+                             else None)
                 e_local = len(self.models) // mesh.shape[axis]
 
                 def shard_fn(variables, device_batch):
@@ -119,10 +123,11 @@ class StackedEnsemble:
 
                 sharded = shard_map(
                     shard_fn, mesh=mesh,
-                    # prefix specs: members sharded over the ensemble
-                    # axis, the batch replicated on every shard
-                    in_specs=(P(axis), P()),
-                    out_specs=(P(), P()),
+                    # prefix specs: members over the ensemble axis, the
+                    # batch dim over the data axis (replicated when the
+                    # mesh has no data axis)
+                    in_specs=(P(axis), P(data_axis)),
+                    out_specs=(P(data_axis), P(data_axis)),
                     check_vma=False,
                 )
                 self._jit_cache[key] = [jax.jit(sharded),
@@ -134,9 +139,28 @@ class StackedEnsemble:
             k: jnp.asarray(v) for k, v in batch.items()
             if isinstance(v, (np.ndarray, jnp.ndarray))
         }
+        # batch padded to the data-axis size so shard_map can split it
+        batch_len = None
+        data_size = (self.mesh.shape.get('data', 1)
+                     if self.mesh is not None
+                     and self.ensemble_axis in self.mesh.axis_names
+                     else 1)
+        if data_size > 1:
+            lens = {v.shape[0] for v in device_batch.values()
+                    if v.ndim >= 1}
+            assert len(lens) == 1, lens
+            batch_len = lens.pop()
+            pad = (-batch_len) % data_size
+            if pad:
+                device_batch = {
+                    k: jnp.concatenate(
+                        [v, jnp.repeat(v[-1:], pad, axis=0)], axis=0)
+                    if v.ndim >= 1 else v
+                    for k, v in device_batch.items()
+                }
         fns = self._jit_cache[key]
         try:
-            return fns[0](self.variables, device_batch)
+            out = fns[0](self.variables, device_batch)
         except Exception as exc:  # noqa: BLE001 — filtered below
             if not _is_vmap_lowering_error(exc):
                 raise  # genuine failures (OOM, shape bugs) must surface
@@ -147,7 +171,13 @@ class StackedEnsemble:
                 f'sequential-members-in-one-jit lane (N x slower)',
                 RuntimeWarning, stacklevel=2)
             fns[0] = fns[1]  # stop retrying the vmapped path
-            return fns[1](self.variables, device_batch)
+            out = fns[1](self.variables, device_batch)
+        if batch_len is not None:
+            y, seq_len = out
+            out = (y[:batch_len],
+                   seq_len[:batch_len] if jnp.ndim(seq_len) >= 1
+                   else seq_len)
+        return out
 
     # -- inference API -------------------------------------------------
     def tagging(self, batch, **params):

@@ -200,3 +200,13 @@ def test_stacked_ensemble_on_mesh(setup):
     y0, _ = models[0].tagging(batch)
     y1, _ = models[1].tagging(batch)
     np.testing.assert_allclose(y, (y0 + y1) / 2, atol=2e-5)
+    # batch axis sharded over the data axis incl. a size that does NOT
+    # divide it (padded internally, outputs trimmed)
+    odd = {k: (v[:3] if isinstance(v, np.ndarray) and v.ndim >= 1
+               else v[:3] if isinstance(v, list) else v)
+           for k, v in batch.items()}
+    y_odd, seq_len_odd = runner.tagging(odd)
+    y0_odd, _ = models[0].tagging(odd)
+    y1_odd, _ = models[1].tagging(odd)
+    assert y_odd.shape[0] == 3 and np.shape(seq_len_odd)[0] == 3
+    np.testing.assert_allclose(y_odd, (y0_odd + y1_odd) / 2, atol=2e-5)
