@@ -15,7 +15,6 @@ resampling via scipy.signal.resample_poly.
 import dataclasses
 import wave
 from math import gcd
-from pathlib import Path
 
 import numpy as np
 

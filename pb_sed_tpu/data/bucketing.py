@@ -16,7 +16,6 @@ compiled shapes while keeping padding waste <= pad_to_multiple/len; a
 """
 import numpy as np
 
-from pb_sed_tpu.utils.misc import to_list
 
 
 class DynamicTimeSeriesBucket:

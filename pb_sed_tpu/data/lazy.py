@@ -16,7 +16,6 @@ import bisect
 import itertools
 import queue
 import threading
-from pathlib import Path
 
 import numpy as np
 

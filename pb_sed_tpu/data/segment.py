@@ -9,7 +9,6 @@ domain), re-anchoring event sample times per segment; the provider then
 """
 import dataclasses
 
-import numpy as np
 
 from pb_sed_tpu.utils.config import Configurable
 

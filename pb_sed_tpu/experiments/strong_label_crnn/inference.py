@@ -10,7 +10,6 @@ self-training rounds).
 """
 import os
 from copy import deepcopy
-from functools import partial
 from pathlib import Path
 
 import numpy as np

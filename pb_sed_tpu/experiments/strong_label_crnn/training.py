@@ -10,7 +10,6 @@ the strong tuning experiment.
 """
 import pickle
 import time
-from pathlib import Path
 
 from pb_sed_tpu.data.provider import DataProvider
 from pb_sed_tpu.database.audioset.provider import AudioSetProvider

@@ -16,7 +16,6 @@ pseudo-labeling written back into a copy of the database json.
 """
 import os
 from copy import deepcopy
-from functools import partial
 from pathlib import Path
 
 import numpy as np

@@ -13,7 +13,6 @@ TPU-first: one jitted graph from waveform to frame scores; the bidirectional
 recurrence runs as two batched scans (see ops/rnn.py); segment pooling for
 summary buffers happens on device via reshape+max.
 """
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -17,8 +17,6 @@ re-computing filter matrices on CPU workers.
 Sequence masking: normalization statistics, masks and noise only ever see
 valid frames (padded batches are a TPU necessity the reference didn't have).
 """
-import dataclasses
-from typing import Any
 
 import flax.linen as nn
 import jax

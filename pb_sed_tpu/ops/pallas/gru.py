@@ -34,7 +34,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 
 try:  # pallas TPU backend is unavailable on some hosts (tests run CPU)

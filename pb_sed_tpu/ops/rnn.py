@@ -14,7 +14,6 @@ step. Sequences are padded; the reversed/bidirectional paths use
 mask-aware sequence reversal so padding never leaks into the recurrence
 from the front.
 """
-from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

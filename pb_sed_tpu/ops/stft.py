@@ -28,7 +28,6 @@ host (so host-side label alignment uses the same warp) and shipped as two
 scalars per example; the warped framing itself runs on device.
 """
 import dataclasses
-import math
 from functools import partial
 
 import jax

@@ -7,7 +7,6 @@ reference (``experiments/weak_label_crnn/training.py:18-19,369-396``):
 breakpoints, and the validation hook policy (metric tracking, best
 checkpoints, LR back-off, early stopping) which lives in the Trainer.
 """
-import numpy as np
 
 
 class IntervalTrigger:

@@ -26,7 +26,6 @@ TPU-first design:
 import pickle
 import shutil
 import time
-from functools import partial
 from pathlib import Path
 
 import jax
@@ -39,7 +38,6 @@ from pb_sed_tpu.parallel.mesh import (
 from pb_sed_tpu.train.hooks import EndTrigger, Hook, IntervalTrigger
 from pb_sed_tpu.train.optimizer import Adam
 from pb_sed_tpu.utils.config import Configurable
-from pb_sed_tpu.utils.misc import dump_json
 
 
 class Trainer(Configurable):
