@@ -184,6 +184,41 @@ def get_best_er_thresholds(
     return thresholds[best, k], er[best, k], ir[best, k], dr[best, k]
 
 
+def positive_class_precisions(target_mat, score_mat):
+    """Precision-at-hit for every positive label (the lwlrap
+    decomposition of the official reference implementation,
+    ``pb_sed/evaluation/instance_based.py:190-229`` public surface).
+
+    Returns (pos_class_indices, precision_at_hits): for each positive
+    (sample, class) pair, the class index and the ranking precision at
+    the rank where that class's score lands within its sample.
+    """
+    target_mat = np.asarray(target_mat) > 0
+    score_mat = np.asarray(score_mat, dtype=float)
+    assert score_mat.ndim == 2 and target_mat.shape == score_mat.shape
+    num_classes = score_mat.shape[1]
+    ranking = np.argsort(-score_mat, axis=-1)
+    ranked_truth = np.take_along_axis(target_mat, ranking, axis=-1)
+    hits = np.cumsum(ranked_truth, axis=-1)
+    prec_at_rank = hits / np.arange(1, num_classes + 1)[None, :]
+    rows, cols = np.nonzero(ranked_truth)
+    return ranking[rows, cols], prec_at_rank[rows, cols]
+
+
+def lwlrap_from_precisions(precision_at_hits, pos_class_indices,
+                           num_classes):
+    """Aggregate per-hit precisions into (lwlrap, per_class_lwlrap,
+    weight_per_class)."""
+    per_class_sum = np.zeros(num_classes)
+    per_class_count = np.zeros(num_classes)
+    np.add.at(per_class_sum, pos_class_indices, precision_at_hits)
+    np.add.at(per_class_count, pos_class_indices, 1)
+    per_class = per_class_sum / np.maximum(per_class_count, 1)
+    total = per_class_count.sum()
+    weight = per_class_count / max(total, 1)
+    return float((per_class * weight).sum()), per_class, weight
+
+
 def lwlrap(target_mat, score_mat):
     """Label-weighted label-ranking average precision.
 

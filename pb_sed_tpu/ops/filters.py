@@ -34,6 +34,29 @@ def _sliding_windows(x, n, axis=-1, pad_front=None, pad_back=None,
     return view, axis
 
 
+def correlate(x, filt, axis=-1, mode='same'):
+    """Cross-correlate ``x`` with a 1-D kernel along ``axis``
+    (reference ``pb_sed/filters.py:6-36`` public surface; vectorized
+    windows instead of per-row ``np.correlate``)."""
+    assert mode in ('valid', 'same', 'full'), mode
+    x = np.asarray(x, dtype=float)
+    filt = np.asarray(filt, dtype=float)
+    n = len(filt)
+    if n == 0:
+        raise ValueError('empty filter')
+    if mode == 'same':
+        pad_front = n // 2 if n % 2 == 0 else (n - 1) // 2
+        pad_back = n - 1 - pad_front
+    elif mode == 'full':
+        pad_front = pad_back = n - 1
+    else:  # valid
+        pad_front = pad_back = 0
+    view, axis = _sliding_windows(
+        x, n, axis, pad_front=pad_front, pad_back=pad_back)
+    out = view @ filt
+    return np.moveaxis(out, -1, axis)
+
+
 def meanfilt(x, n, axis=-1):
     """Zero-padded moving average ('same')."""
     if n <= 1:

@@ -84,3 +84,40 @@ def test_lwlrap_perfect_and_random():
     # empty targets
     val3, *_ = ib.lwlrap(np.zeros((2, 3)), s)
     assert val3 == 0.0
+
+
+def test_correlate_matches_numpy():
+    """correlate (reference pb_sed/filters.py:6-36 surface) must agree
+    with np.correlate per row for every mode, incl. even kernels."""
+    from pb_sed_tpu.ops.filters import correlate
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 3, 17)
+    for n in (1, 2, 3, 4, 5):
+        filt = rng.randn(n)
+        for mode in ('same', 'valid', 'full'):
+            got = correlate(x, filt, axis=-1, mode=mode)
+            expected = np.apply_along_axis(
+                lambda m: np.correlate(m, filt, mode=mode), -1, x)
+            np.testing.assert_allclose(got, expected, atol=1e-12)
+    # non-trailing axis
+    got = correlate(x, rng.randn(3), axis=1, mode='same')
+    assert got.shape == x.shape
+
+
+def test_lwlrap_decomposition_helpers():
+    """positive_class_precisions + lwlrap_from_precisions reproduce the
+    all-in-one lwlrap triple."""
+    from pb_sed_tpu.evaluation.instance_based import (
+        lwlrap, lwlrap_from_precisions, positive_class_precisions)
+    rng = np.random.RandomState(5)
+    truth = rng.rand(40, 7) > 0.6
+    truth[:2] = False  # samples without positives
+    scores = rng.rand(40, 7)
+    pos_idx, prec = positive_class_precisions(truth, scores)
+    assert pos_idx.shape == prec.shape == (int(truth.sum()),)
+    value, per_class, weight = lwlrap_from_precisions(
+        prec, pos_idx, num_classes=7)
+    value2, per_class2, weight2 = lwlrap(truth, scores)
+    assert value == pytest.approx(value2)
+    np.testing.assert_allclose(per_class, per_class2)
+    np.testing.assert_allclose(weight, weight2)
