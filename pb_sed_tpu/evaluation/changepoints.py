@@ -30,11 +30,11 @@ def level_detections(scores_col, timestamps):
 
     Returns:
         (levels, detections): ``levels`` is the ascending (U,) unique
-        score values; ``detections`` is a list of U+1 interval lists
-        ``[(onset, offset), ...]`` where ``detections[0]`` holds the
-        base (threshold below all values -> every frame detected) and
-        ``detections[i + 1]`` the detections for thresholds in
-        ``[levels[i], levels[i + 1])`` (i.e. frames with
+        score values; ``detections`` is a list of U+1 interval arrays
+        ``(n_i, 2)`` of (onset, offset) rows, where ``detections[0]``
+        holds the base (threshold below all values -> every frame
+        detected) and ``detections[i + 1]`` the detections for
+        thresholds in ``[levels[i], levels[i + 1])`` (i.e. frames with
         ``score > levels[i]``).
     """
     scores_col = np.asarray(scores_col, dtype=float)
@@ -61,7 +61,7 @@ def level_detections(scores_col, timestamps):
         for i in range(len(block)):
             ons = timestamps[on_t[on_bounds[i]:on_bounds[i + 1]]]
             offs = timestamps[off_t[off_bounds[i]:off_bounds[i + 1]]]
-            detections.append(list(zip(ons.tolist(), offs.tolist())))
+            detections.append(np.stack((ons, offs), axis=1))
     return levels, detections
 
 

@@ -167,8 +167,11 @@ def _collar_clip_job(item, ground_truth, classes, onset_collar,
         levels, detections = level_detections(arr[:, ki], timestamps)
         rows = []
         for dets in detections:
+            if not refs:  # no same-class truth: every detection is a FP
+                rows.append((0, len(dets), 0., 0.))
+                continue
             tps, ond, offd, _ = _match_events(
-                dets, refs, onset_collar, offset_collar,
+                dets.tolist(), refs, onset_collar, offset_collar,
                 offset_collar_rate)
             rows.append((tps, len(dets), ond, offd))
         base, stats = rows[0], rows[1:]

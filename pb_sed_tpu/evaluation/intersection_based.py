@@ -53,10 +53,6 @@ def staircase_auc(y, x, max_x=None):
     return float(np.sum(widths * y[:-1]))
 
 
-def _intersection(a_on, a_off, b_on, b_off):
-    return max(0., min(a_off, b_off) - max(a_on, b_on))
-
-
 def _counts_job(threshold, scores_arrays, ground_truth, classes,
                 dtc_threshold, gtc_threshold, cttc_threshold,
                 time_decimals):
@@ -67,42 +63,76 @@ def _counts_job(threshold, scores_arrays, ground_truth, classes,
 
 
 def _class_counts(dets, gt_by_class, classes, ki, dtc_threshold,
-                  gtc_threshold, cttc_threshold, rnd):
-    """DTC/GTC/CTTC counting for one clip/class detection list.
+                  gtc_threshold, cttc_threshold, time_decimals=None):
+    """DTC/GTC/CTTC counting for one clip/class detection list,
+    vectorized over intervals (the exact path evaluates this at EVERY
+    score change point, SURVEY §3.2's dominant tuning cost).
 
     Returns (tp, fp, cts_row (k,)).
     """
     k = len(classes)
-    c = classes[ki]
-    refs = gt_by_class.get(c, [])
-    valid = []
-    fp = 0
     cts_row = np.zeros(k)
-    for d_on, d_off in dets:
-        d_on, d_off = rnd(d_on), rnd(d_off)
-        dur = max(d_off - d_on, 1e-12)
-        inter = sum(_intersection(d_on, d_off, r_on, r_off)
-                    for r_on, r_off in refs)
-        if inter / dur >= dtc_threshold:
-            valid.append((d_on, d_off))
-        else:
-            fp += 1
-            if cttc_threshold is not None:
-                for kj, c2 in enumerate(classes):
-                    if c2 == c:
-                        continue
-                    refs2 = gt_by_class.get(c2, [])
-                    inter2 = sum(
-                        _intersection(d_on, d_off, r_on, r_off)
-                        for r_on, r_off in refs2)
-                    if inter2 / dur >= cttc_threshold:
-                        cts_row[kj] += 1
+    n = len(dets)
+    if n == 0:
+        return 0, 0, cts_row
+    det = np.asarray(dets, dtype=float).reshape(n, 2)
+    if time_decimals is not None:
+        det = np.round(det, time_decimals)
+    d_on, d_off = det[:, 0], det[:, 1]
+    dur = np.maximum(d_off - d_on, 1e-12)
+    refs = gt_by_class.get(classes[ki], [])
+    if refs:
+        ref = np.asarray(refs, dtype=float).reshape(-1, 2)
+        inter = np.clip(
+            np.minimum(d_off[:, None], ref[None, :, 1])
+            - np.maximum(d_on[:, None], ref[None, :, 0]), 0., None)
+        valid = inter.sum(1) / dur >= dtc_threshold
+    else:
+        valid = np.zeros(n, dtype=bool)
+    fp = int(n - valid.sum())
+    if cttc_threshold is not None and fp:
+        inv = ~valid
+        for kj, c2 in enumerate(classes):
+            if kj == ki:
+                continue
+            refs2 = gt_by_class.get(c2)
+            if not refs2:
+                continue
+            ref2 = np.asarray(refs2, dtype=float).reshape(-1, 2)
+            inter2 = np.clip(
+                np.minimum(d_off[inv, None], ref2[None, :, 1])
+                - np.maximum(d_on[inv, None], ref2[None, :, 0]),
+                0., None)
+            cts_row[kj] = float(
+                (inter2.sum(1) / dur[inv] >= cttc_threshold).sum())
     tp = 0
-    for r_on, r_off in refs:
-        dur = max(r_off - r_on, 1e-12)
-        if _union_intersection(valid, r_on, r_off) / dur >= gtc_threshold:
-            tp += 1
+    if refs and valid.any():
+        covered = _merged_coverage(det[valid], ref)
+        ref_dur = np.maximum(ref[:, 1] - ref[:, 0], 1e-12)
+        tp = int((covered / ref_dur >= gtc_threshold).sum())
     return tp, fp, cts_row
+
+
+def _merged_coverage(intervals, ref):
+    """Per-ref length covered by the UNION of ``intervals`` ((n, 2)):
+    merge-sweep (score runs are already disjoint; file-based detections
+    might not be), then summed pairwise intersections."""
+    order = np.argsort(intervals[:, 0], kind='mergesort')
+    iv = intervals[order]
+    merged = []
+    cur_on, cur_off = iv[0]
+    for on, off in iv[1:]:
+        if on > cur_off:
+            merged.append((cur_on, cur_off))
+            cur_on, cur_off = on, off
+        else:
+            cur_off = max(cur_off, off)
+    merged.append((cur_on, cur_off))
+    mg = np.asarray(merged)
+    inter = np.clip(
+        np.minimum(mg[:, None, 1], ref[None, :, 1])
+        - np.maximum(mg[:, None, 0], ref[None, :, 0]), 0., None)
+    return inter.sum(0)
 
 
 def _psds_clip_job(item, ground_truth, classes, dtc_threshold,
@@ -116,7 +146,6 @@ def _psds_clip_job(item, ground_truth, classes, dtc_threshold,
     gt_by_class = {}
     for on, off, lb in gt:
         gt_by_class.setdefault(lb, []).append((on, off))
-    rnd = lambda v: round(v, time_decimals)
     k = len(classes)
     out = []
     for ki in range(k):
@@ -125,7 +154,7 @@ def _psds_clip_job(item, ground_truth, classes, dtc_threshold,
         for dets in detections:
             tp, fp, cts_row = _class_counts(
                 dets, gt_by_class, classes, ki, dtc_threshold,
-                gtc_threshold, cttc_threshold, rnd)
+                gtc_threshold, cttc_threshold, time_decimals)
             rows.append(np.concatenate(([tp, fp], cts_row)))
         base, stats = rows[0], rows[1:]
         out.append((levels,
@@ -142,7 +171,6 @@ def _counts_at_threshold(
     tps = np.zeros(k)
     fps = np.zeros(k)
     cts = np.zeros((k, k))
-    rnd = lambda v: round(v, time_decimals)
     for clip_id, (arr, timestamps) in scores_arrays.items():
         gt = ground_truth.get(clip_id, [])
         gt_by_class = {}
@@ -152,56 +180,16 @@ def _counts_at_threshold(
             arr, timestamps, classes, threshold)
         det_by_class = {}
         for on, off, lb in detections:
-            det_by_class.setdefault(lb, []).append((rnd(on), rnd(off)))
+            det_by_class.setdefault(lb, []).append((on, off))
         for ki, c in enumerate(classes):
-            dets = det_by_class.get(c, [])
-            refs = gt_by_class.get(c, [])
-            valid = []
-            for d_on, d_off in dets:
-                dur = max(d_off - d_on, 1e-12)
-                inter = sum(
-                    _intersection(d_on, d_off, r_on, r_off)
-                    for r_on, r_off in refs)
-                if inter / dur >= dtc_threshold:
-                    valid.append((d_on, d_off))
-                else:
-                    fps[ki] += 1
-                    # cross triggers of this invalid detection
-                    if cttc_threshold is not None:
-                        for kj, c2 in enumerate(classes):
-                            if c2 == c:
-                                continue
-                            refs2 = gt_by_class.get(c2, [])
-                            inter2 = sum(
-                                _intersection(d_on, d_off, r_on, r_off)
-                                for r_on, r_off in refs2)
-                            if inter2 / dur >= cttc_threshold:
-                                cts[ki, kj] += 1
-            for r_on, r_off in refs:
-                dur = max(r_off - r_on, 1e-12)
-                covered = _union_intersection(valid, r_on, r_off)
-                if covered / dur >= gtc_threshold:
-                    tps[ki] += 1
+            tp, fp, cts_row = _class_counts(
+                det_by_class.get(c, []), gt_by_class, classes, ki,
+                dtc_threshold, gtc_threshold, cttc_threshold,
+                time_decimals)
+            tps[ki] += tp
+            fps[ki] += fp
+            cts[ki] += cts_row
     return tps, fps, cts
-
-
-def _union_intersection(intervals, r_on, r_off):
-    """Length of (union of intervals) ∩ [r_on, r_off]."""
-    clipped = sorted(
-        (max(on, r_on), min(off, r_off))
-        for on, off in intervals if off > r_on and on < r_off)
-    total = 0.
-    cur_on = cur_off = None
-    for on, off in clipped:
-        if cur_off is None or on > cur_off:
-            if cur_off is not None:
-                total += cur_off - cur_on
-            cur_on, cur_off = on, off
-        else:
-            cur_off = max(cur_off, off)
-    if cur_off is not None:
-        total += cur_off - cur_on
-    return total
 
 
 def psds(scores, ground_truth, audio_durations, *, dtc_threshold,
@@ -370,7 +358,6 @@ def psds_from_operating_points(operating_points, ground_truth,
     thresholds = sorted(operating_points.keys())
     tprs = np.zeros((len(thresholds), k))
     efprs = np.zeros((len(thresholds), k))
-    rnd = lambda v: v  # detection TSVs carry already-rounded times
     for ti, thr in enumerate(thresholds):
         detections = operating_points[thr]
         tps = np.zeros(k)
@@ -388,7 +375,7 @@ def psds_from_operating_points(operating_points, ground_truth,
                 tp, fp, cts_row = _class_counts(
                     det_by_class.get(classes[ki], []), gt_by_class,
                     classes, ki, dtc_threshold, gtc_threshold,
-                    cttc_threshold, rnd)
+                    cttc_threshold, None)
                 tps[ki] += tp
                 fps[ki] += fp
                 cts[ki] += cts_row

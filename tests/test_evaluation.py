@@ -230,10 +230,10 @@ def test_level_detections_and_curve_accumulator():
     ts = np.arange(6) * 1.0
     levels, dets = level_detections(scores, ts)
     np.testing.assert_allclose(levels, [0.1, 0.5, 0.9])
-    assert dets[0] == [(0., 5.)]            # base: everything
-    assert dets[1] == [(1., 3.), (4., 5.)]  # > 0.1
-    assert dets[2] == [(1., 3.)]            # > 0.5
-    assert dets[3] == []                    # > 0.9
+    np.testing.assert_allclose(dets[0], [(0., 5.)])  # base: everything
+    np.testing.assert_allclose(dets[1], [(1., 3.), (4., 5.)])  # > 0.1
+    np.testing.assert_allclose(dets[2], [(1., 3.)])            # > 0.5
+    assert dets[3].shape == (0, 2)                             # > 0.9
 
     # two clips' staircases merge at the union of change points
     acc = CurveAccumulator(1)
