@@ -212,7 +212,20 @@ class DataProvider(Configurable):
                    else names_or_datasets)
         keep = self._example_filter(
             discard_labelless_examples, filter_example_ids)
-        return dataset.filter(keep, lazy=False)
+        dataset = dataset.filter(keep, lazy=False)
+        if self.raw_shard is not None:
+            # pre-DECODE shard membership by clip-id hash, applied at the
+            # single raw choke point so every consumer (audio decode,
+            # label counting for rebalancing, epoch plans) sees the SAME
+            # filtered index space; eager filter keeps it indexable
+            import zlib
+            num_shards, shard_index = self.raw_shard
+            dataset = dataset.filter(
+                lambda ex: zlib.crc32(
+                    str(ex['example_id']).encode()) % num_shards
+                == shard_index,
+                lazy=False)
+        return dataset
 
     # ------------------------------------------------------------------
     # plan construction
@@ -245,58 +258,56 @@ class DataProvider(Configurable):
 
         return keep
 
-    def _audio_source(self, name_or_dataset, train, filter_example_ids):
+    def _decode(self, raw, name=None):
         """Raw -> decoded-audio dataset (+ optional eager cache)."""
+        decoded = raw.map(self.audio_reader)
+        if name is not None:
+            if name in (self.cached_datasets or ()):
+                decoded = decoded.cache(lazy=False)
+            print(f'Single data set length {name}:', len(decoded))
+        else:
+            print('Single data set length:', len(decoded))
+        return decoded
+
+    def _audio_source(self, name_or_dataset, train, filter_example_ids):
         raw = self.get_raw(
             name_or_dataset,
             discard_labelless_examples=(
                 train and self.discard_labelless_train_examples),
             filter_example_ids=filter_example_ids,
         )
-        if self.raw_shard is not None:
-            # pre-decode shard filter: membership by clip-id hash, as an
-            # eager index filter so the source stays indexable for the
-            # epoch plan; the decode map below then only ever touches
-            # this host's examples
-            import zlib
-            num_shards, shard_index = self.raw_shard
-            raw = raw.filter(
-                lambda ex: zlib.crc32(
-                    str(ex['example_id']).encode()) % num_shards
-                == shard_index,
-                lazy=False)
-        decoded = raw.map(self.audio_reader)
-        if isinstance(name_or_dataset, str):
-            if name_or_dataset in (self.cached_datasets or ()):
-                decoded = decoded.cache(lazy=False)
-            print(f'Single data set length {name_or_dataset}:',
-                  len(decoded))
-        else:
-            print('Single data set length:', len(decoded))
-        return decoded
+        return self._decode(
+            raw, name_or_dataset
+            if isinstance(name_or_dataset, str) else None)
 
     def _train_plan(self, spec, filter_example_ids):
-        """Epoch plan over the train sources: audio sources + per-example
-        rebalancing repeats (when ``min_class_examples_per_epoch``)."""
-        sources = [
-            (self._audio_source(source, True, filter_example_ids), tiles)
-            for source, tiles in spec
-        ]
-        if not self.min_class_examples_per_epoch:
-            return EpochPlan.build(sources)
-        # class occurrence counts over the whole weighted epoch
-        raw = [
+        """Epoch plan over the train sources: per-source raw datasets are
+        materialized ONCE and feed BOTH the audio decode map and the
+        label-count rebalancing pass, so the per-example repeat indices
+        always address the same (possibly raw_shard-filtered) space."""
+        raw_sources = [
             (self.get_raw(
                 source,
                 discard_labelless_examples=(
                     self.discard_labelless_train_examples),
-                filter_example_ids=filter_example_ids), tiles)
+                filter_example_ids=filter_example_ids), source, tiles)
             for source, tiles in spec
         ]
+        sources = [
+            (self._decode(
+                raw, source if isinstance(source, str) else None), tiles)
+            for raw, source, tiles in raw_sources
+        ]
+        if not self.min_class_examples_per_epoch:
+            return EpochPlan.build(sources)
+        # class occurrence counts over the whole weighted epoch
         per_source_labels = [
-            example_labels(ds, self.label_key) for ds, _ in raw]
+            example_labels(raw, self.label_key)
+            for raw, *_ in raw_sources
+        ]
         counts = {}
-        for labels_list, (_, tiles) in zip(per_source_labels, raw):
+        for labels_list, (*_, tiles) in zip(per_source_labels,
+                                            raw_sources):
             for labels in labels_list:
                 for label in labels:
                     counts[label] = counts.get(label, 0) + tiles
@@ -336,6 +347,15 @@ class DataProvider(Configurable):
         """Random gain + every-``mix_interval``-th superposition mixing
         (the mixin stream is the scaled stream itself, reference
         ``scale_and_mix``)."""
+        if self.epoch_shuffle_seed is not None:
+            # the host-identical-epoch contract (batch-level multi-host
+            # sharding) extends to the augmentation draws: re-seed the
+            # samplers' rngs deterministically
+            for offset, fn in ((9001, self.scale_sampling_fn),
+                               (9002, self.mix_fn)):
+                if fn is not None and hasattr(fn, 'rng'):
+                    fn.rng = np.random.RandomState(
+                        self.epoch_shuffle_seed + offset)
         if self.scale_sampling_fn is not None:
             draw_scale = self.scale_sampling_fn
 

@@ -194,40 +194,13 @@ class StackedEnsemble:
                               window_shift=1, **params):
         module_cls = type(self.module)
         if hasattr(module_cls, 'sed_windows') and window_length is not None:
-            window_length = np.array(window_length, dtype=int)
-            if window_length.ndim == 0:
-                y, seq_len = self._apply(
+            from pb_sed_tpu.models.weak_label.crnn import multi_window_sed
+            return multi_window_sed(
+                lambda win_len: self._apply(
                     batch, module_cls.sed_windows,
-                    window_length=int(window_length),
-                    window_shift=int(window_shift))
-                return np.asarray(y), np.asarray(seq_len)
-            # per-class / per-paramset window lengths: reuse the member
-            # implementation's mask-sum logic over unique lengths
-            uniq = np.unique(window_length.flatten())
-            y_out = None
-            seq_len_y = None
-            for win_len in uniq:
-                yi, seq_len_y = self._apply(
-                    batch, module_cls.sed_windows,
-                    window_length=int(win_len),
-                    window_shift=int(window_shift))
-                yi = np.asarray(yi)
-                b, k, t = yi.shape
-                wl = window_length
-                if wl.ndim == 1:
-                    wl = np.broadcast_to(wl, (k,))
-                    mask = (wl == win_len)[None, :, None]
-                else:
-                    n = wl.shape[0]
-                    wl = np.broadcast_to(wl, (n, k))
-                    yi = yi[:, None]
-                    mask = (wl == win_len)[None, :, :, None]
-                if y_out is None:
-                    shape = (b, *wl.shape, t) if wl.ndim == 2 else (
-                        b, k, t)
-                    y_out = np.zeros(shape, dtype=yi.dtype)
-                y_out = y_out + mask * yi
-            return y_out, np.asarray(seq_len_y)
+                    window_length=win_len,
+                    window_shift=int(window_shift)),
+                window_length)
         method = module_cls.sound_event_detection
         y, seq_len = self._apply(batch, method, **params)
         return np.asarray(y), np.asarray(seq_len)

@@ -120,6 +120,45 @@ class FBCRNNModule(nn.Module):
         return y, seq_len_y
 
 
+def multi_window_sed(run_window, window_length):
+    """Combine per-window-length SED runs under scalar / per-class (K,)
+    / per-paramset (N, K) window lengths (the reference's array-valued
+    window semantics, ``weak_label/crnn.py:241-302``).
+
+    Args:
+        run_window: ``win_len -> (y (B, K, T), seq_len)`` — a single
+            fixed-window SED evaluation (member or stacked ensemble).
+        window_length: scalar / (K,) / (N, K) ints.
+    """
+    window_length = np.array(window_length, dtype=int)
+    if window_length.ndim == 0:
+        y, seq_len = run_window(int(window_length))
+        return np.asarray(y), np.asarray(seq_len)
+    uniq = np.unique(window_length.flatten())
+    y_out = None
+    seq_len_y = None
+    for win_len in uniq:
+        yi, seq_len_y = run_window(int(win_len))
+        yi = np.asarray(yi)
+        b, k, t = yi.shape
+        wl = window_length
+        if wl.ndim == 1:
+            assert wl.shape[0] in (1, k), wl.shape
+            wl = np.broadcast_to(wl, (k,))
+            mask = (wl == win_len)[None, :, None]
+        else:
+            assert wl.ndim == 2 and wl.shape[1] in (1, k), wl.shape
+            n = wl.shape[0]
+            wl = np.broadcast_to(wl, (n, k))
+            yi = yi[:, None]
+            mask = (wl == win_len)[None, :, :, None]
+        if y_out is None:
+            shape = (b, *wl.shape, t) if wl.ndim == 2 else (b, k, t)
+            y_out = np.zeros(shape, dtype=yi.dtype)
+        y_out = y_out + mask * yi
+    return y_out, np.asarray(seq_len_y)
+
+
 class CRNN(SoundEventModel):
     """FBCRNN wrapper: losses, inference API, config glue."""
 
@@ -287,38 +326,11 @@ class CRNN(SoundEventModel):
     def sound_event_detection(self, batch, window_length, window_shift=1):
         """Supports scalar, per-class (K,) and per-paramset (N, K) window
         lengths (reference ``weak_label/crnn.py:241-302``)."""
-        window_length = np.array(window_length, dtype=int)
-        if window_length.ndim == 0:
-            y, seq_len = self._apply(
+        return multi_window_sed(
+            lambda win_len: self._apply(
                 batch, method=FBCRNNModule.sed_windows,
-                window_length=int(window_length),
-                window_shift=int(window_shift))
-            return np.asarray(y), np.asarray(seq_len)
-        uniq = np.unique(window_length.flatten())
-        y_out = None
-        seq_len_y = None
-        for win_len in uniq:
-            yi, seq_len_y = self._apply(
-                batch, method=FBCRNNModule.sed_windows,
-                window_length=int(win_len), window_shift=int(window_shift))
-            yi = np.asarray(yi)
-            b, k, t = yi.shape
-            wl = window_length
-            if wl.ndim == 1:
-                assert wl.shape[0] in (1, k), wl.shape
-                wl = np.broadcast_to(wl, (k,))
-                mask = (wl == win_len)[None, :, None]
-            else:
-                assert wl.ndim == 2 and wl.shape[1] in (1, k), wl.shape
-                n = wl.shape[0]
-                wl = np.broadcast_to(wl, (n, k))
-                yi = yi[:, None]
-                mask = (wl == win_len)[None, :, :, None]
-            if y_out is None:
-                shape = (b, *wl.shape, t) if wl.ndim == 2 else (b, k, t)
-                y_out = np.zeros(shape, dtype=yi.dtype)
-            y_out = y_out + mask * yi
-        return y_out, np.asarray(seq_len_y)
+                window_length=win_len, window_shift=int(window_shift)),
+            window_length)
 
     # ------------------------------------------------------------------
     # config glue (reference crnn.py:304-340)

@@ -173,12 +173,21 @@ class NormalizedLogMelExtractor(nn.Module, Configurable):
             y = self._augment(y, seq_len, mask)
         y = y * mask
         if self.add_deltas or self.add_delta_deltas:
+            # delta regression must see EDGE-replicated values past each
+            # sequence end, not the zeroed padding (zeros would put a
+            # spurious derivative spike on every clip tail)
+            t_idx = jnp.minimum(
+                jnp.arange(t)[None, :], jnp.maximum(seq_len[:, None], 1)
+                - 1)
+            y_edge = jnp.take_along_axis(y, t_idx[:, :, None], axis=1)
             channels = [y]
-            delta = _time_delta(y) * mask
+            delta = _time_delta(y_edge) * mask
             if self.add_deltas:
                 channels.append(delta)
             if self.add_delta_deltas:
-                channels.append(_time_delta(delta) * mask)
+                channels.append(_time_delta(
+                    jnp.take_along_axis(delta, t_idx[:, :, None], axis=1)
+                ) * mask)
             return jnp.stack(channels, axis=-1)  # (B, T, M, C)
         return y
 

@@ -53,7 +53,10 @@ class AllTrigger:
             t if callable(t) else IntervalTrigger(t) for t in triggers]
 
     def __call__(self, iteration, epoch=0):
-        return all(t(iteration, epoch) for t in self.triggers)
+        # evaluate EVERY member (no short-circuit): interval triggers
+        # are stateful and must advance on each poll
+        results = [t(iteration, epoch) for t in self.triggers]
+        return all(results)
 
 
 class AnyTrigger:
@@ -62,7 +65,8 @@ class AnyTrigger:
             t if callable(t) else IntervalTrigger(t) for t in triggers]
 
     def __call__(self, iteration, epoch=0):
-        return any(t(iteration, epoch) for t in self.triggers)
+        results = [t(iteration, epoch) for t in self.triggers]
+        return any(results)
 
 
 class NotTrigger:

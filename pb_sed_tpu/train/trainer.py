@@ -143,14 +143,29 @@ class Trainer(Configurable):
             self._build_step_fns()
 
     def _annealing_points(self):
-        """Collect LRAnnealingHook breakpoints to bake into the step."""
+        """Collect LRAnnealingHook breakpoints to bake into the step.
+
+        The schedule runs ON DEVICE against the iteration counter, so
+        only ONE iteration-unit hook is supported — anything else must
+        fail loudly rather than silently mis-schedule the LR.
+        """
         from pb_sed_tpu.train.hooks import LRAnnealingHook
-        for hook in self.hooks:
-            if isinstance(hook, LRAnnealingHook) and hook.breakpoints:
-                xs = np.array([float(x) for x, _ in hook.breakpoints])
-                ys = np.array([float(y) for _, y in hook.breakpoints])
-                return xs, ys
-        return None
+        hooks = [h for h in self.hooks
+                 if isinstance(h, LRAnnealingHook) and h.breakpoints]
+        if not hooks:
+            return None
+        if len(hooks) > 1:
+            raise NotImplementedError(
+                'multiple LRAnnealingHooks: merge the breakpoints into '
+                'one hook (the schedule is baked into the jitted step)')
+        hook = hooks[0]
+        if hook.unit != 'iteration':
+            raise NotImplementedError(
+                f'LRAnnealingHook(unit={hook.unit!r}): the baked-in '
+                f'schedule interpolates over ITERATIONS')
+        xs = np.array([float(x) for x, _ in hook.breakpoints])
+        ys = np.array([float(y) for _, y in hook.breakpoints])
+        return xs, ys
 
     def _build_step_fns(self):
         model = self.model
@@ -307,9 +322,10 @@ class Trainer(Configurable):
                         self.train_step(batch)
                 self._drain_batch_buffer()
                 self.epoch += 1
-            # final checkpoint + validation
+            # final checkpoint + validation (resuming an already-
+            # finished run never builds the jitted fns: skip cleanly)
             self._flush_summary(prefix='training')
-            if self.validation_hook is not None:
+            if self.validation_hook is not None and self._val_fn is not None:
                 self.validate()
             self.save_checkpoint()
         finally:
@@ -320,8 +336,11 @@ class Trainer(Configurable):
                 self._writer.flush()
 
     def _maybe_start_profile(self):
+        # crossing condition (>=): the multi-step lane advances the
+        # iteration in strides and can step over an exact profile_at
         if (self.profile_at is not None and not self._profiling
-                and self.iteration + 1 == self.profile_at
+                and not getattr(self, '_profile_done', False)
+                and self.iteration + 1 >= self.profile_at
                 and self.storage_dir is not None):
             logdir = self.storage_dir / 'profile'
             logdir.mkdir(parents=True, exist_ok=True)
@@ -335,6 +354,7 @@ class Trainer(Configurable):
             jax.block_until_ready(self.model.variables)
             jax.profiler.stop_trace()
             self._profiling = False
+            self._profile_done = True
             logdir = self.storage_dir / 'profile'
             print(f'Profiler trace written to {logdir}')
             try:
@@ -366,9 +386,9 @@ class Trainer(Configurable):
         self.model.variables = variables
         self.iteration += 1
         self._accumulate_summary(loss, scalars, buffers, images)
-        if self.summary_trigger(self.iteration):
+        if self.summary_trigger(self.iteration, self.epoch):
             self._flush_summary(prefix='training')
-        if self.checkpoint_trigger(self.iteration):
+        if self.checkpoint_trigger(self.iteration, self.epoch):
             self.save_checkpoint()
             if self.validation_hook is not None:
                 self.validate()
@@ -400,6 +420,7 @@ class Trainer(Configurable):
     def train_steps(self, batches):
         """Run len(batches) train steps as ONE jitted lax.scan call."""
         self._ensure_ready(batches[0])
+        self._maybe_start_profile()
         for hook in self.hooks:
             hook.pre_step(self)
         mesh_size = (len(self.mesh.devices.flat)
@@ -425,14 +446,15 @@ class Trainer(Configurable):
         flat_buffers = jax.tree_util.tree_map(
             lambda x: x.reshape((-1,) + x.shape[2:]), buffers)
         self._accumulate_summary(losses, scalars, flat_buffers, images)
-        if self.summary_trigger(self.iteration):
+        if self.summary_trigger(self.iteration, self.epoch):
             self._flush_summary(prefix='training')
-        if self.checkpoint_trigger(self.iteration):
+        if self.checkpoint_trigger(self.iteration, self.epoch):
             self.save_checkpoint()
             if self.validation_hook is not None:
                 self.validate()
         for hook in self.hooks:
             hook.post_step(self, batches[-1], losses, None)
+        self._maybe_stop_profile()
         return losses
 
     # ------------------------------------------------------------------

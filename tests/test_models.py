@@ -202,6 +202,16 @@ def test_weak_model_with_delta_channels():
     assert x.shape == (2, 15, 32, 3), x.shape  # base + delta + ddelta
     # deltas of a masked (padded) region stay zero
     assert float(np.abs(np.asarray(x[1, 12:])).max()) == 0.
+    # time-constant features -> zero deltas EVERYWHERE inside the valid
+    # range (regression: the zeroed padding used to leak a spurious
+    # derivative spike into each clip's last frames)
+    const_batch = dict(batch)
+    const_batch['stft'] = np.broadcast_to(
+        batch['stft'][:, :1], batch['stft'].shape).copy()
+    xc, _ = model.module.apply(
+        model.variables, const_batch, training=False,
+        method=type(model.module).features)
+    assert float(np.abs(np.asarray(xc[1, :12, :, 1:])).max()) < 1e-5
     y_fwd, y_bwd, seq_len_y, *_ = model.module.apply(
         model.variables, batch, training=False)
     assert y_fwd.shape[0] == 2 and np.isfinite(np.asarray(y_fwd)).all()
