@@ -96,10 +96,11 @@ def rnn_config(width, num_events, num_layers=2):
             'hidden_size': 256 * width,
             'num_layers': num_layers,
             'dropout': .0,
-            # Pallas recurrence kernels (ops/pallas/gru.py): measured
-            # faster than lax.scan on v5e for both forward (2.28 vs
-            # 2.94 ms) and gradient (4.31 vs 5.04 ms) at the flagship
-            # size; silently falls back to the scan path off-TPU
+            # Pallas recurrence kernels (ops/pallas/gru.py): on v5e at
+            # flagship size the gradient path is consistently faster
+            # than lax.scan (4.3-4.7 vs 5.0 ms) and the forward is a tie
+            # within tunnel-window noise, with 18x fewer XLA op events
+            # per step; silently falls back to the scan path off-TPU
             'use_pallas': True,
         },
         'output_net': {
