@@ -86,17 +86,27 @@ def _pool2d(x, pool):
 
 
 def _match_residual(res, x):
-    """Average-pool a saved residual so its T/F dims match ``x``."""
+    """Adapt a saved residual to ``x``: average-pool mismatched T/F dims
+    and zero-pad grown channel counts (identity skips across the deep
+    config's channel-doubling boundaries, reference residual lists at
+    ``training.py:171-178``)."""
     if res.shape == x.shape:
         return res
-    assert res.shape[-1] == x.shape[-1], (res.shape, x.shape)
     if res.ndim == 4:
         st = res.shape[1] // x.shape[1] or 1
         sf = res.shape[2] // x.shape[2] or 1
-        res = nn.avg_pool(res, window_shape=(st, sf), strides=(st, sf))
+        if st > 1 or sf > 1:
+            res = nn.avg_pool(res, window_shape=(st, sf),
+                              strides=(st, sf))
     else:
         st = res.shape[1] // x.shape[1] or 1
-        res = nn.avg_pool(res, window_shape=(st,), strides=(st,))
+        if st > 1:
+            res = nn.avg_pool(res, window_shape=(st,), strides=(st,))
+    grow = x.shape[-1] - res.shape[-1]
+    assert grow >= 0, (res.shape, x.shape)
+    if grow:
+        width = [(0, 0)] * (res.ndim - 1) + [(0, grow)]
+        res = jnp.pad(res, width)
     return res
 
 

@@ -215,3 +215,38 @@ def test_weak_model_with_delta_channels():
     y_fwd, y_bwd, seq_len_y, *_ = model.module.apply(
         model.variables, batch, training=False)
     assert y_fwd.shape[0] == 2 and np.isfinite(np.asarray(y_fwd)).all()
+
+
+@pytest.mark.slow
+def test_deep_net_config_trains():
+    """The 'deep' width-2 residual architecture (the AudioSet
+    pre-training network, reference ``training.py:158-185``) must build,
+    run forward and take a finite gradient step — exercises the
+    residual-index wiring at full depth."""
+    import numpy as np
+    from pb_sed_tpu.models.net_configs import fbcrnn_config
+    from pb_sed_tpu.train.trainer import Trainer
+
+    config = weak_label.CRNN.get_config(
+        fbcrnn_config(net_config='deep', num_events=10))
+    model = weak_label.CRNN.from_config(config)
+    rng = np.random.RandomState(0)
+    num_samples = 16000  # 1 s
+    stft = model.module.feature_extractor.stft
+    frames = int(stft.num_frames(num_samples))
+    batch = {
+        'audio_data': rng.randn(2, num_samples).astype(np.float32),
+        'seq_len': np.array([frames, frames - 10], np.int32),
+        'seq_len_samples': np.array([num_samples, num_samples - 3200],
+                                    np.int32),
+        'weak_targets': (rng.rand(2, 10) > .7).astype(np.float32),
+        'boundary_targets': (rng.rand(2, 10, frames) > .9).astype(
+            np.float32),
+    }
+    trainer = Trainer(model, storage_dir=None,
+                      stop_trigger=(1, 'iteration'))
+    trainer._ensure_ready(batch)
+    n_params = model.num_parameters()
+    assert n_params > 5_000_000, n_params  # width-2 deep net
+    loss = float(trainer.train_step(batch))
+    assert np.isfinite(loss), loss
