@@ -237,11 +237,15 @@ class DataFetcher(Configurable):
                 s_pad = max(np.shape(ex.get('audio_data', []))[-1]
                             for ex in batch)
             if take_global_slice:
-                local = batch[shard_index::num_shards]
-                local = local[:len(batch) // num_shards]
-                if not local:  # undersized leftover batch
+                # CONTIGUOUS slices: process p's devices hold global
+                # rows [p*n_local, (p+1)*n_local) under
+                # make_array_from_process_local_data, so the assembled
+                # global array preserves the bucketer's batch order
+                n_local = len(batch) // num_shards
+                if n_local == 0:  # undersized leftover batch
                     return None
-                batch = local
+                batch = batch[shard_index * n_local:
+                              (shard_index + 1) * n_local]
             return Collate(
                 pad_frames_to=t_pad, frames_to_samples=frames_to_samples,
                 pad_samples_to=s_pad)(batch)
