@@ -103,13 +103,37 @@ class DynamicBucketDataset:
 
     def palette_length(self, seq_len):
         m = self.pad_to_multiple
-        return int(-(-seq_len // m) * m)
+        length = int(-(-seq_len // m) * m)
+        if (self.max_padding_rate is not None and seq_len > 0
+                and (length - seq_len) / length > self.max_padding_rate
+                and not getattr(self, '_warned_padding', False)):
+            import warnings
+            warnings.warn(
+                f'palette quantization pads a seq_len={seq_len} example '
+                f'to {length} frames (rate '
+                f'{(length - seq_len) / length:.2f} > max_padding_rate='
+                f'{self.max_padding_rate}); the palette multiple '
+                f'({m}) bounds achievable padding rates for short '
+                f'sequences', RuntimeWarning, stacklevel=2)
+            self._warned_padding = True
+        return length
 
     def _finish(self, batch):
         if self.sort_key is not None:
             batch = sorted(batch, key=lambda ex: ex[self.sort_key],
                            reverse=self.reverse_sort)
         return batch
+
+    def _flush(self, stale):
+        """Flush a stale bucket in batch_size CHUNKS (a flush must never
+        emit an over-sized batch outside the compiled palette); a
+        trailing partial chunk honors ``drop_incomplete``."""
+        for i in range(0, len(stale), self.batch_size):
+            chunk = stale[i:i + self.batch_size]
+            if len(chunk) < self.batch_size and self.drop_incomplete:
+                continue
+            if chunk:
+                yield self._finish(chunk)
 
     def __iter__(self):
         buckets = {}
@@ -141,8 +165,7 @@ class DynamicBucketDataset:
                         stale = buckets.pop(key).examples
                         del ages[key]
                         buffered -= len(stale)
-                        if stale and not self.drop_incomplete:
-                            yield self._finish(stale)
+                        yield from self._flush(stale)
             if (self.max_buffered_examples is not None
                     and buffered > self.max_buffered_examples):
                 # flush the fullest bucket to relieve pressure
@@ -150,8 +173,7 @@ class DynamicBucketDataset:
                 stale = buckets.pop(key).examples
                 del ages[key]
                 buffered -= len(stale)
-                if stale:
-                    yield self._finish(stale)
+                yield from self._flush(stale)
         # drain
         leftovers = [ex for b in buckets.values() for ex in b.examples]
         if leftovers and not self.drop_incomplete:

@@ -85,12 +85,10 @@ class Transform(Configurable):
         warp = None
         if self.anchor_shift_sampling_fn is not None:
             assert callable(self.anchor_sampling_fn)
-            anchor = float(self.anchor_sampling_fn()) * num_samples
-            delta = float(self.anchor_shift_sampling_fn()) * num_samples
-            anchor_out = float(np.clip(anchor, 1., num_samples - 1.))
-            anchor_in = float(np.clip(
-                anchor + delta, 1., num_samples - 1.))
-            warp = (anchor_out, anchor_in)
+            from pb_sed_tpu.ops.stft import sample_time_warp
+            warp = sample_time_warp(
+                num_samples, self.anchor_sampling_fn,
+                self.anchor_shift_sampling_fn)
 
         def to_frames(samples, kind):
             samples = np.asarray(samples, dtype=float)

@@ -86,9 +86,12 @@ def tagging(crnns, dataset, timestamps, event_classes, hyper_params_dir,
     tagging_scores = base.tagging(
         crnns, dataset, max_segment_length=max_segment_length,
         segment_overlap=segment_overlap, merge_score_segments=False)
+    # clip-level scores: pooled segments merge by max (segment ids carry
+    # the _!segment!_ suffix and every downstream consumer — tag masks,
+    # pseudo-labeling — is keyed by CLIP id)
+    merged = merge_segments(tagging_scores, segment_overlap=0)
     results = {}
     if ground_truth is not None and len(ground_truth):
-        merged = merge_segments(tagging_scores, segment_overlap=0)
         scores_df = base.scores_to_dataframes(
             merged, timestamps=timestamps, event_classes=event_classes)
         f, p, r, stats = clip_based.fscore(
@@ -117,8 +120,8 @@ def tagging(crnns, dataset, timestamps, event_classes, hyper_params_dir,
     thresholds_arr = np.array([
         thresholds[event_class] for event_class in event_classes])
     raw_scores = {
-        audio_id: np.asarray(tagging_scores[audio_id])[0]
-        for audio_id in tagging_scores
+        audio_id: np.asarray(merged[audio_id])[0]
+        for audio_id in merged
     }
     tags = {audio_id: raw_scores[audio_id] > thresholds_arr
             for audio_id in raw_scores}

@@ -162,13 +162,18 @@ def inference(model, method, dataset, max_segment_length=None,
             })
             if apply_mask.any():
                 assert masks is not None
-                for audio_id in score_cache:
-                    assert audio_id in masks, audio_id
+                # mask ONLY the segment ids just added: earlier cache
+                # entries are already masked (re-multiplying them would
+                # attenuate non-boolean masks as mask^n)
+                for audio_id in segment['example_id']:
+                    # tag masks are keyed by CLIP id (time-invariant)
+                    mask_key = audio_id.split('_!segment!_')[0]
+                    assert mask_key in masks, mask_key
                     m_arr = apply_mask
                     if m_arr.ndim == 2:
                         m_arr = m_arr[..., None, :]
                     score_cache[audio_id] = score_cache[audio_id] * (
-                        np.maximum(masks[audio_id], 1 - m_arr))
+                        np.maximum(masks[mask_key], 1 - m_arr))
         if merge_score_segments:
             example_id = input_segments[-1]['example_id'][0]
             if '_!segment!_' in example_id:

@@ -136,7 +136,10 @@ def boundaries_from_events(ground_truth):
         spans = {}
         for onset, offset, label in event_list:
             if label in spans:
-                spans[label] = (spans[label][0], offset)
+                # span = (min onset, MAX offset): nested/unsorted events
+                # must not shrink the fold
+                spans[label] = (min(spans[label][0], onset),
+                                max(spans[label][1], offset))
             else:
                 spans[label] = (onset, offset)
         out[audio_id] = [
@@ -159,7 +162,7 @@ def _normalize_tag_masking(tag_masking, metrics):
 def tune_boundaries_detection(
         detection_scores, medfilt_length_candidates,
         stepfilt_length_candidates, tags, metrics, minimize=False,
-        tag_masking=None, storage_dir=None):
+        tag_masking='?', storage_dir=None):
     tag_masking = _normalize_tag_masking(tag_masking, metrics)
     leaderboard = {}
     event_classes = None
@@ -207,7 +210,7 @@ def tune_boundaries_detection(
 
 def tune_sound_event_detection(
         detection_scores, medfilt_length_candidates, tags, metrics,
-        minimize=False, tag_masking=None, storage_dir=None):
+        minimize=False, tag_masking='?', storage_dir=None):
     tag_masking = _normalize_tag_masking(tag_masking, metrics)
     leaderboard = {}
     event_classes = None

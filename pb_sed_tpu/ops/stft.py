@@ -202,18 +202,19 @@ class STFT:
         return jnp.stack([spec.real, spec.imag], axis=-1).astype(jnp.float32)
 
 
-def sample_time_warp(rng, valid_len, anchor_sampling_fn, shift_sampling_fn):
-    """Host-side sampling of per-example warp parameters.
+def sample_time_warp(valid_len, anchor_sampling_fn, shift_sampling_fn):
+    """Host-side sampling of per-example warp parameters (the single
+    implementation — ``data/transform.py`` consumes it, so host target
+    alignment and device framing can never drift apart).
 
-    Reference: anchor ~ U(0.4, 0.6) of the clip, shift ~ U(-0.1, 0.1) of the
-    clip (``provider.py:329-338``). Returns (anchor_out, anchor_in) in
-    samples: the output anchor position and the input position it reads.
+    Reference: anchor ~ U(0.4, 0.6) of the clip, shift ~ U(-0.1, 0.1) of
+    the clip (``provider.py:329-338``). Returns (anchor_out, anchor_in)
+    in samples, both clipped into [1, valid_len - 1].
     """
-    del rng  # sampling fns carry their own rng
     anchor = float(anchor_sampling_fn()) * valid_len
     delta = float(shift_sampling_fn()) * valid_len
-    anchor_out = anchor
-    anchor_in = np.clip(anchor + delta, 1., valid_len - 1.)
+    anchor_out = float(np.clip(anchor, 1., valid_len - 1.))
+    anchor_in = float(np.clip(anchor + delta, 1., valid_len - 1.))
     return anchor_out, anchor_in
 
 

@@ -93,23 +93,47 @@ def _slice_pad(arr, start, length, axis=-1):
 def merge_segments(segmental_output, segment_overlap):
     """{segment_id: (..., T, K) score arr} -> {clip_id: merged arr}.
 
-    Interior edges lose ceil(overlap/2) frames on the left segment and
-    overlap//2 frames on the right segment.
+    Interior overlaps are split down the middle (left segment keeps
+    ``shift + overlap//2`` frames, the right one starts at
+    ``overlap//2``) — but CONTENT-aware: segment arrays are already
+    sliced to each clip's true per-segment length, so a clip that ends
+    inside a non-final segment keeps its trailing frames (and later
+    empty/contained segments contribute nothing) instead of being
+    silently truncated. Pooled outputs (time axis 1 per segment, e.g.
+    clip tagging) merge by elementwise max.
     """
     merged = {}
+    seg_lengths = [
+        np.asarray(arr).shape[-2]
+        for key, arr in segmental_output.items() if '_!segment!_' in key
+    ]
+    max_length = max(seg_lengths, default=0)
+    pooled = max_length <= 1  # per-segment pooled scores (tagging)
+    shift = max_length - segment_overlap
+    half = segment_overlap // 2
     for audio_id in sorted(segmental_output.keys()):
         if '_!segment!_0_' in audio_id:
             clip_id, n_segments = audio_id.split('_!segment!_0_')
-            n_segments = int(n_segments)
+            n = int(n_segments)
+            arrs = [
+                np.asarray(
+                    segmental_output[f'{clip_id}_!segment!_{i}_{n}'])
+                for i in range(n)
+            ]
+            if pooled:
+                merged[clip_id] = np.maximum.reduce(arrs)
+                continue
+            lens = [arr.shape[-2] for arr in arrs]
             parts = []
-            for i in range(n_segments):
-                arr = segmental_output[
-                    f'{clip_id}_!segment!_{i}_{n_segments}']
-                if i < n_segments - 1 and segment_overlap > 0:
-                    arr = arr[..., :-ceil(segment_overlap / 2), :]
-                if i > 0 and segment_overlap > 0:
-                    arr = arr[..., segment_overlap // 2:, :]
-                parts.append(arr)
+            for i, arr in enumerate(arrs):
+                a = half if (i > 0 and segment_overlap > 0) else 0
+                next_len = lens[i + 1] if i + 1 < n else 0
+                if segment_overlap > 0 and next_len > half:
+                    b = min(lens[i], shift + half)
+                else:
+                    b = lens[i]  # clip ends here: keep everything
+                if b > a:
+                    parts.append(arr[..., a:b, :])
             merged[clip_id] = np.concatenate(parts, axis=-2)
         elif '_!segment!_' not in audio_id:
             merged[audio_id] = segmental_output[audio_id]

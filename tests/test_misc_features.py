@@ -209,3 +209,34 @@ def test_timer_and_emissions(tmp_path):
     kg = tracker.stop()
     assert kg is not None and kg >= 0
     assert (tmp_path / 'emissions.csv').exists()
+
+
+def test_merge_segments_short_clip_keeps_tail():
+    """Regression: a clip ending INSIDE a non-final segment used to lose
+    its trailing ceil(overlap/2) frames to the interior-edge trim; the
+    merge is now content-aware. Values encode global frame indices."""
+    import numpy as np
+    from pb_sed_tpu.utils.segment import merge_segments
+
+    def arr(start, stop):
+        return np.arange(start, stop, dtype=float)[:, None]  # (T, 1)
+
+    out = {
+        'A_!segment!_0_2': arr(0, 100),   # full first segment
+        'A_!segment!_1_2': arr(80, 150),  # 70 frames (clip len 150)
+        'B_!segment!_0_2': arr(0, 90),    # clip len 90 ends in seg 0
+        'B_!segment!_1_2': arr(80, 90),   # 10 leftover overlap frames
+        'C': arr(0, 7),                   # unsegmented passthrough
+    }
+    merged = merge_segments(out, segment_overlap=20)
+    np.testing.assert_array_equal(merged['A'][:, 0], np.arange(150))
+    np.testing.assert_array_equal(merged['B'][:, 0], np.arange(90))
+    np.testing.assert_array_equal(merged['C'][:, 0], np.arange(7))
+
+    # pooled (tagging) scores merge by max
+    pooled = {
+        'A_!segment!_0_2': np.array([[0.2, 0.9]]),
+        'A_!segment!_1_2': np.array([[0.7, 0.1]]),
+    }
+    merged = merge_segments(pooled, segment_overlap=20)
+    np.testing.assert_allclose(merged['A'], [[0.7, 0.9]])
