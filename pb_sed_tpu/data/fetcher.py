@@ -28,7 +28,18 @@ Multi-host sharding (``num_shards > 1``; SURVEY.md §2.4/§7 "hard part"):
   dataset quotas exactly and the label diversity up to
   ``min(diversity, local_batch)``. Use for decode-bound corpora
   (AudioSet) where n-fold duplicate decoding is unacceptable.
+
+  STEP ALIGNMENT: hash-of-clip-id membership makes per-host shard sizes
+  (and batch counts) unequal. In a multi-process SPMD loop every step is
+  a collective, so the host with the smallest shard would exit the epoch
+  loop first while the others block — a hang. Set ``steps_per_epoch``
+  (every host truncates its stream to the same count); every host can
+  compute an agreed budget without communication via
+  :meth:`aligned_steps_per_epoch` (min membership count over shards,
+  from ``lazy.shard_membership_counts``).
 """
+import warnings
+
 import dataclasses
 
 import numpy as np
@@ -120,6 +131,10 @@ class DataFetcher(Configurable):
     num_shards: int = None
     shard_index: int = None
     shard_level: str = 'batch'         # 'batch' (exact) | 'example'
+    # example-level sharding: agreed per-epoch batch budget so every
+    # host runs the same number of (collective) steps; see module
+    # docstring + aligned_steps_per_epoch
+    steps_per_epoch: int = None
     # batch-level sharding needs IDENTICAL shuffles on every host
     shard_shuffle_seed: int = 0
     # wired by the provider: STFT geometry config for exact waveform padding
@@ -237,13 +252,24 @@ class DataFetcher(Configurable):
                 s_pad = max(np.shape(ex.get('audio_data', []))[-1]
                             for ex in batch)
             if take_global_slice:
+                rem = len(batch) % num_shards
+                if rem:
+                    # partial batch (bucket expiration / end-of-stream
+                    # drain): pad by REPEATING examples — deterministic,
+                    # so every host pads identically — instead of
+                    # silently dropping len % n examples from scoring.
+                    # Duplicated example_ids overwrite in score dicts
+                    # (metrics stay exact); loss summaries weight the
+                    # repeated clips twice, which beats never scoring
+                    # them on any host.
+                    pad = num_shards - rem
+                    batch = list(batch) + [
+                        batch[j % len(batch)] for j in range(pad)]
                 # CONTIGUOUS slices: process p's devices hold global
                 # rows [p*n_local, (p+1)*n_local) under
                 # make_array_from_process_local_data, so the assembled
                 # global array preserves the bucketer's batch order
                 n_local = len(batch) // num_shards
-                if n_local == 0:  # undersized leftover batch
-                    return None
                 batch = batch[shard_index * n_local:
                               (shard_index + 1) * n_local]
             return Collate(
@@ -251,25 +277,60 @@ class DataFetcher(Configurable):
                 pad_samples_to=s_pad)(batch)
 
         batched = bucketer.map(collate)
-        if take_global_slice:
-            batched = _DropNone(batched)
+        if sharded_examples:
+            if self.steps_per_epoch is not None:
+                batched = _TakeN(batched, self.steps_per_epoch)
+            else:
+                try:
+                    import jax
+                    multiprocess = jax.process_count() > 1
+                except Exception:  # noqa: BLE001 — jax optional here
+                    multiprocess = False
+                if multiprocess:
+                    warnings.warn(
+                        "shard_level='example' without steps_per_epoch "
+                        'in a multi-process run: per-host batch counts '
+                        'differ (hash shards are unequal), so hosts can '
+                        'deadlock in collectives at epoch end. Set '
+                        'steps_per_epoch (see aligned_steps_per_epoch).',
+                        RuntimeWarning, stacklevel=2)
         return batched.prefetch(1, 4)
 
+    def aligned_steps_per_epoch(self, example_ids):
+        """Agreed per-epoch batch budget for ``shard_level='example'``:
+        min hash-membership count over shards // local batch size. Every
+        host computes the identical value from the (pre-shard) id list.
+        Conservative only up to bucketing: strict per-batch quotas or
+        ``drop_incomplete`` can hold additional examples back — reduce
+        the budget accordingly if the bucketer is configured tightly."""
+        from pb_sed_tpu.data.lazy import shard_membership_counts
+        num_shards, _ = self._shard_plan()
+        assert num_shards > 1 and self.batch_size, (
+            num_shards, self.batch_size)
+        counts = shard_membership_counts(example_ids, num_shards)
+        return min(counts) // (self.batch_size // num_shards)
 
-class _DropNone:
-    """Streaming skip of ``None`` items (undersized leftover batches in
-    global-slice shard mode)."""
 
-    def __init__(self, parent):
+class _TakeN:
+    """Streaming truncation to the first ``n`` batches (the agreed
+    step budget in example-level shard mode)."""
+
+    def __init__(self, parent, n):
         self.parent = parent
+        self.n = int(n)
 
     def __iter__(self):
-        for item in self.parent:
-            if item is not None:
-                yield item
+        it = iter(self.parent)
+        for _ in range(self.n):
+            try:
+                yield next(it)
+            except StopIteration:
+                return
 
     def __len__(self):
-        return len(self.parent)
+        # upper bound: the parent may run dry earlier
+        raise TypeError(
+            'streaming shard wrapper has no exact length; iterate it')
 
     def prefetch(self, num_workers=1, buffer_size=4):
         from pb_sed_tpu.data.lazy import PrefetchDataset

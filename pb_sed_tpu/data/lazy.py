@@ -385,12 +385,33 @@ class HashShardDataset(Dataset):
                 yield ex
 
     def __len__(self):
-        # streaming estimate; exact membership is content-dependent
-        return max(1, len(self.parent) // self.num_shards)
+        # shard membership is content-dependent (hash of clip ids), so
+        # any length would be an estimate; epoch accounting on it would
+        # mis-align steps across hosts (see DataFetcher shard notes)
+        raise TypeError(
+            'HashShardDataset has no exact length; iterate it, or count '
+            'memberships with shard_membership_counts()')
 
     @property
     def indexable(self):
         return False
+
+
+def shard_membership_counts(example_ids, num_shards):
+    """Per-shard membership counts for hash-of-clip-id sharding.
+
+    Membership depends only on the clip ids, so EVERY host can compute
+    ALL shards' counts from the (pre-shard) id list and agree on a
+    per-epoch step budget (e.g. ``min(counts) // local_batch_size``)
+    without communication — required for step-aligned multi-process
+    training with ``shard_level='example'`` (see DataFetcher).
+    """
+    import zlib
+    counts = [0] * num_shards
+    for example_id in example_ids:
+        clip_id = str(example_id).split('_!segment!_')[0]
+        counts[zlib.crc32(clip_id.encode()) % num_shards] += 1
+    return counts
 
 
 class ShardDataset(Dataset):

@@ -151,7 +151,9 @@ def config(cfg):
 
     cfg['net_config'] = 'shallow'
     width, cnn = cnn_config(cfg['net_config'], cfg['num_events'])
-    rnn = rnn_config(width, cfg['num_events'], num_layers=1)
+    # reference depth: 2 bidirectional GRU layers
+    # (``strong_label_crnn/training.py:245-250``)
+    rnn = rnn_config(width, cfg['num_events'], num_layers=2)
     rnn['rnn']['bidirectional'] = True
     cfg['trainer'] = {
         'factory': Trainer,

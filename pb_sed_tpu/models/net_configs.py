@@ -136,9 +136,10 @@ def bicrnn_config(net_config='shallow', num_events=10,
                   tag_conditioning=False):
     """Full strong-label BiCRNN model config dict (factory-style)."""
     width, cnn = cnn_config(net_config, num_events)
-    rnn = rnn_config(width, num_events)
+    # reference strong recipe: bidirectional, hidden 256*width,
+    # num_layers 2 (``strong_label_crnn/training.py:245-250``)
+    rnn = rnn_config(width, num_events, num_layers=2)
     rnn['rnn']['bidirectional'] = True
-    rnn['rnn']['num_layers'] = 1
     return {
         'feature_extractor': feature_extractor_config(
             sample_rate, stft_size, number_of_filters, augment),

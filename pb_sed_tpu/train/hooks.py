@@ -20,6 +20,23 @@ class IntervalTrigger:
         self.unit = unit
         self.last = None
 
+    def peek(self, iteration, epoch=0):
+        """Would-fire result WITHOUT consuming the boundary (no state
+        change). Composite triggers use peek so a boundary crossing is
+        only committed when the composite actually fires."""
+        index = iteration if self.unit == 'iteration' else epoch
+        last = self.last
+        if last is None:
+            # first-ever call: fire at index 0 (epoch-style triggers) or
+            # if a period boundary already lies behind us
+            return index == 0 or index >= self.period
+        if index == last:
+            return False
+        return index // self.period > last // self.period
+
+    def commit(self, iteration, epoch=0):
+        self.last = iteration if self.unit == 'iteration' else epoch
+
     def __call__(self, iteration, epoch=0):
         # fire on period-boundary CROSSINGS, not exact multiples: the
         # multi-step lane advances the iteration by steps_per_call per
@@ -28,15 +45,9 @@ class IntervalTrigger:
         # calls at the same index stay deduped, and resume sets
         # ``last`` to the restored iteration so the first post-resume
         # call cannot immediately re-fire.
-        index = iteration if self.unit == 'iteration' else epoch
-        last, self.last = self.last, index
-        if last is None:
-            # first-ever call: fire at index 0 (epoch-style triggers) or
-            # if a period boundary already lies behind us
-            return index == 0 or index >= self.period
-        if index == last:
-            return False
-        return index // self.period > last // self.period
+        fired = self.peek(iteration, epoch)
+        self.commit(iteration, epoch)
+        return fired
 
 
 class EndTrigger(IntervalTrigger):
@@ -46,6 +57,11 @@ class EndTrigger(IntervalTrigger):
         index = iteration if self.unit == 'iteration' else epoch
         return index >= self.period
 
+    peek = __call__  # stateless
+
+    def commit(self, iteration, epoch=0):
+        pass
+
 
 class AllTrigger:
     def __init__(self, *triggers):
@@ -53,10 +69,21 @@ class AllTrigger:
             t if callable(t) else IntervalTrigger(t) for t in triggers]
 
     def __call__(self, iteration, epoch=0):
-        # evaluate EVERY member (no short-circuit): interval triggers
-        # are stateful and must advance on each poll
-        results = [t(iteration, epoch) for t in self.triggers]
-        return all(results)
+        # peek every member, commit only when the composite fires: a
+        # boundary crossing one member sees while another evaluates
+        # False must NOT be consumed, or the composite would skip that
+        # boundary forever (its ``last`` would already lie past it)
+        results = [
+            t.peek(iteration, epoch) if hasattr(t, 'peek')
+            else t(iteration, epoch)
+            for t in self.triggers
+        ]
+        fired = all(results)
+        if fired:
+            for t in self.triggers:
+                if hasattr(t, 'commit'):
+                    t.commit(iteration, epoch)
+        return fired
 
 
 class AnyTrigger:
@@ -74,8 +101,20 @@ class NotTrigger:
         self.trigger = trigger if callable(trigger) else IntervalTrigger(
             trigger)
 
+    def peek(self, iteration, epoch=0):
+        inner = (self.trigger.peek(iteration, epoch)
+                 if hasattr(self.trigger, 'peek')
+                 else self.trigger(iteration, epoch))
+        return not inner
+
+    def commit(self, iteration, epoch=0):
+        if hasattr(self.trigger, 'commit'):
+            self.trigger.commit(iteration, epoch)
+
     def __call__(self, iteration, epoch=0):
-        return not self.trigger(iteration, epoch)
+        fired = self.peek(iteration, epoch)
+        self.commit(iteration, epoch)
+        return fired
 
 
 class Hook:

@@ -428,10 +428,24 @@ class Trainer(Configurable):
         padded = [pad_batch_to_multiple(b, mesh_size)[0] for b in batches]
         keys = [k for k, v in padded[0].items()
                 if isinstance(v, (np.ndarray, jnp.ndarray))]
-        stacked = {
-            k: jnp.stack([jnp.asarray(b[k]) for b in padded])
-            for k in keys
-        }
+        if self.mesh is not None and jax.process_count() > 1:
+            # host-local arrays can't be resharded to a multi-host
+            # NamedSharding at dispatch: assemble each (K, B_local, ...)
+            # stack into a GLOBAL (K, B_global, ...) array (batch axis
+            # sharded, steps axis replicated) like _device_batch does
+            # for the single-step lane
+            sharding = stacked_batch_sharding(self.mesh)
+            stacked = {
+                k: jax.make_array_from_process_local_data(
+                    sharding,
+                    np.stack([np.asarray(b[k]) for b in padded]))
+                for k in keys
+            }
+        else:
+            stacked = {
+                k: jnp.stack([jnp.asarray(b[k]) for b in padded])
+                for k in keys
+            }
         if self._device_step_state is None:
             self._sync_step_state()
         rng, iteration, lr_scale = self._device_step_state

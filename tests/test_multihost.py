@@ -131,6 +131,65 @@ def test_example_sharding_with_global_shuffle():
     assert len(ids) >= 12  # most examples survive (complete local batches)
 
 
+def test_batch_mode_partial_batches_score_every_example():
+    """Regression (ADVICE r2): partial batches (end-of-stream drain with
+    drop_incomplete=False) silently lost len % num_shards examples and
+    dropped batches smaller than num_shards entirely; now they are
+    padded by repetition so every example reaches some host."""
+    examples = make_examples(10)
+    for ex in examples:  # single palette bucket -> one partial drain
+        ex['seq_len'] = 10
+        ex['seq_len_samples'] = 500
+        ex['audio_data'] = np.zeros(500, np.float32)
+    kwargs = dict(batch_size=4, drop_incomplete=False)
+
+    def fetch_keep(shard=None):
+        fetcher = DataFetcher(prefetch_workers=0, pad_to_multiple=8,
+                              **kwargs,
+                              **({} if shard is None else shard))
+        return list(fetcher(lazy.from_list(examples)))
+
+    shard0 = fetch_keep({'num_shards': 2, 'shard_index': 0})
+    shard1 = fetch_keep({'num_shards': 2, 'shard_index': 1})
+    ids = set()
+    for b0, b1 in zip(shard0, shard1):
+        # identical per-host batch sizes every step (SPMD agreement)
+        assert len(b0['example_id']) == len(b1['example_id'])
+        ids |= set(b0['example_id']) | set(b1['example_id'])
+    # ALL 10 examples are scored on some host (2 leftovers included)
+    assert ids == {f'e{i}' for i in range(10)}
+
+
+def test_example_sharding_steps_per_epoch_aligns_hosts():
+    """steps_per_epoch truncates every host's stream to the agreed
+    budget; aligned_steps_per_epoch computes it from the id list."""
+    examples = make_examples(32)
+    for ex in examples:
+        ex['seq_len'] = 10
+        ex['seq_len_samples'] = 500
+        ex['audio_data'] = np.zeros(500, np.float32)
+    fetcher = DataFetcher(
+        prefetch_workers=0, pad_to_multiple=8, drop_incomplete=True,
+        batch_size=4, num_shards=2, shard_index=0,
+        shard_level='example')
+    budget = fetcher.aligned_steps_per_epoch(
+        [ex['example_id'] for ex in examples])
+    assert budget >= 1
+    from pb_sed_tpu.data.lazy import shard_membership_counts
+    counts = shard_membership_counts(
+        [ex['example_id'] for ex in examples], 2)
+    assert budget == min(counts) // 2
+    shards = []
+    for i in range(2):
+        fetcher_i = DataFetcher(
+            prefetch_workers=0, pad_to_multiple=8, drop_incomplete=True,
+            batch_size=4, num_shards=2, shard_index=i,
+            shard_level='example', steps_per_epoch=budget)
+        shards.append(list(fetcher_i(lazy.from_list(examples))))
+    # both hosts run EXACTLY the same number of steps
+    assert len(shards[0]) == len(shards[1]) == budget
+
+
 def test_batch_mode_requires_divisible_batch():
     import pytest
     examples = make_examples(8)

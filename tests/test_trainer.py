@@ -76,6 +76,31 @@ def test_triggers():
     assert fired == [0, 2, 4]
 
 
+def test_all_trigger_does_not_consume_boundaries():
+    """Regression (ADVICE r2): AllTrigger advanced every stateful member
+    per poll, so a boundary 'consumed' while another member evaluated
+    False was lost forever — the composite never fired for it."""
+    a = AllTrigger((2, 'iteration'), NotTrigger(EndTrigger(3)))
+    assert a(0)
+    assert a(2)
+    # iteration 4 crosses the period-2 boundary but the Not(End(3))
+    # member is False -> composite must not fire AND must not consume
+    assert not a(4)
+    assert not a(5)
+    # a fresh composite whose interval member crossed a boundary while
+    # blocked still sees the crossing once unblocked
+    blocked = []
+    interval = IntervalTrigger((2, 'iteration'))
+    gate = lambda i, e=0: i >= 5  # noqa: E731 — stateless member
+    b = AllTrigger(interval, gate)
+    for i in range(8):
+        if b(i):
+            blocked.append(i)
+    # crossings at 2 and 4 are gated off but NOT consumed: the first
+    # unblocked poll (5) fires for the pending boundary, then 6 crosses
+    assert blocked == [5, 6]
+
+
 def test_interval_trigger_fires_on_boundary_crossing():
     """Regression: with steps_per_call>1 the iteration advances in
     strides, so exact-multiple matching would stretch the effective
