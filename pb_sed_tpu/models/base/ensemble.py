@@ -103,7 +103,6 @@ class StackedEnsemble:
                 # axis additionally shards over the mesh's 'data' axis
                 # (SURVEY §2.4: inference segments/windows across chips).
                 from jax import shard_map
-                from jax.sharding import PartitionSpec as P
                 axis = self.ensemble_axis
                 data_axis = ('data' if 'data' in mesh.axis_names
                              else None)
@@ -132,6 +131,18 @@ class StackedEnsemble:
                 )
                 self._jit_cache[key] = [jax.jit(sharded),
                                         jax.jit(member_mean_fn)]
+            elif mesh is not None and 'data' in mesh.axis_names:
+                # coprime member/device counts (no ensemble axis):
+                # members evaluate vmapped on every device, the BATCH
+                # shards over the data axis over ICI
+                repl = NamedSharding(mesh, P())
+                data = NamedSharding(mesh, P('data'))
+                self._jit_cache[key] = [
+                    jax.jit(mean_fn, in_shardings=(repl, data),
+                            out_shardings=(data, data)),
+                    jax.jit(member_mean_fn, in_shardings=(repl, data),
+                            out_shardings=(data, data)),
+                ]
             else:
                 self._jit_cache[key] = [jax.jit(mean_fn),
                                         jax.jit(member_mean_fn)]
@@ -139,12 +150,11 @@ class StackedEnsemble:
             k: jnp.asarray(v) for k, v in batch.items()
             if isinstance(v, (np.ndarray, jnp.ndarray))
         }
-        # batch padded to the data-axis size so shard_map can split it
+        # batch padded to the data-axis size so the batch axis splits
+        # evenly over the mesh (both the shard_map and data-only lanes)
         batch_len = None
         data_size = (self.mesh.shape.get('data', 1)
-                     if self.mesh is not None
-                     and self.ensemble_axis in self.mesh.axis_names
-                     else 1)
+                     if self.mesh is not None else 1)
         if data_size > 1:
             lens = {v.shape[0] for v in device_batch.values()
                     if v.ndim >= 1}

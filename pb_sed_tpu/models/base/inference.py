@@ -29,9 +29,9 @@ def tagging(models, dataset, max_segment_length=None, segment_overlap=None,
             merge_score_segments=False, score_segment_overlap=None,
             model_kwargs=None, medfilt_length=1, method='tagging',
             timestamps=None, event_classes=None, score_storage_dir=None,
-            device=None, auto_stack=True):
+            device=None, auto_stack=True, mesh='auto'):
     return inference(
-        models, method, dataset,
+        models, method, dataset, mesh=mesh,
         max_segment_length=max_segment_length,
         segment_overlap=segment_overlap,
         merge_score_segments=merge_score_segments,
@@ -49,9 +49,9 @@ def boundaries_detection(models, dataset, max_segment_length=None,
                          apply_mask=False, masks=None,
                          method='boundaries_detection', timestamps=None,
                          event_classes=None, score_storage_dir=None,
-                         device=None, auto_stack=True):
+                         device=None, auto_stack=True, mesh='auto'):
     return inference(
-        models, method, dataset,
+        models, method, dataset, mesh=mesh,
         max_segment_length=max_segment_length,
         segment_overlap=segment_overlap,
         merge_score_segments=merge_score_segments,
@@ -69,9 +69,9 @@ def sound_event_detection(models, dataset, max_segment_length=None,
                           method='sound_event_detection',
                           apply_mask=False, masks=None, timestamps=None,
                           event_classes=None, score_storage_dir=None,
-                          device=None, auto_stack=True):
+                          device=None, auto_stack=True, mesh='auto'):
     return inference(
-        models, method, dataset,
+        models, method, dataset, mesh=mesh,
         max_segment_length=max_segment_length,
         segment_overlap=segment_overlap,
         merge_score_segments=merge_score_segments,
@@ -88,7 +88,16 @@ def inference(model, method, dataset, max_segment_length=None,
               medfilt_length=1, stepfilt_length=None, apply_mask=False,
               masks=None, post_processing_fn=None, timestamps=None,
               event_classes=None, score_storage_dir=None, device=None,
-              auto_stack=True):
+              auto_stack=True, mesh='auto'):
+    """``mesh='auto'`` (the production default, mirroring
+    ``Trainer.__init__``'s ``get_mesh()``): with >1 attached device the
+    stacked ensemble shards members over an ``ensemble`` mesh axis and
+    the batch over ``data`` (ICI collectives; see
+    ``parallel.mesh.default_ensemble_mesh``) — replacing the reference's
+    sequential single-device member loop
+    (``pb_sed/models/base/inference.py:133-141``). Pass ``mesh=None`` to
+    force the single-device vmapped lane, or an explicit
+    ``jax.sharding.Mesh``."""
     models = model if isinstance(model, (list, tuple)) else [model]
     if model_kwargs is None:
         model_kwargs = {}
@@ -98,10 +107,15 @@ def inference(model, method, dataset, max_segment_length=None,
         len(models), len(model_kwargs))
     if auto_stack and len(models) > 1:
         # identical architectures: evaluate the whole ensemble in one
-        # vmapped XLA program (see models/base/ensemble.py)
+        # vmapped XLA program (see models/base/ensemble.py); with a
+        # mesh, members/batch shard over the devices
         from pb_sed_tpu.models.base.ensemble import maybe_stack
+        if isinstance(mesh, str) and mesh == 'auto':
+            from pb_sed_tpu.parallel.mesh import default_ensemble_mesh
+            mesh = default_ensemble_mesh(len(models))
         try:
-            models, model_kwargs = maybe_stack(models, model_kwargs)
+            models, model_kwargs = maybe_stack(
+                models, model_kwargs, mesh=mesh)
         except Exception as exc:  # stacking is an optimization only
             print(f'ensemble stacking disabled: {exc}')
     medfilt_length = np.asarray(medfilt_length, dtype=int)

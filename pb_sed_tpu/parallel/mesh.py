@@ -30,6 +30,24 @@ def get_mesh(axis_name='data', devices=None, ensemble_size=None):
     return Mesh(devices.reshape(-1), (axis_name,))
 
 
+def default_ensemble_mesh(n_models, devices=None):
+    """Production default for ensemble inference (the north-star
+    pseudo-labeling workload): members shard over an ``ensemble`` axis of
+    size gcd(n_models, n_devices) — the largest size that both divides
+    the device grid and splits the members evenly — and the batch over
+    the remaining ``data`` axis. Returns None on a single device (the
+    vmapped single-chip lane needs no mesh); a 1-D data mesh when the
+    counts are coprime (members stay local, batch shards over ICI)."""
+    import math
+    devices = list(devices if devices is not None else jax.devices())
+    if len(devices) <= 1:
+        return None
+    ensemble_size = math.gcd(int(n_models), len(devices))
+    if ensemble_size <= 1:
+        return get_mesh(devices=devices)
+    return get_mesh(devices=devices, ensemble_size=ensemble_size)
+
+
 def batch_sharding(mesh, axis_name='data'):
     return NamedSharding(mesh, P(axis_name))
 
