@@ -175,19 +175,23 @@ class NormalizedLogMelExtractor(nn.Module, Configurable):
         if self.add_deltas or self.add_delta_deltas:
             # delta regression must see EDGE-replicated values past each
             # sequence end, not the zeroed padding (zeros would put a
-            # spurious derivative spike on every clip tail)
-            t_idx = jnp.minimum(
-                jnp.arange(t)[None, :], jnp.maximum(seq_len[:, None], 1)
-                - 1)
-            y_edge = jnp.take_along_axis(y, t_idx[:, :, None], axis=1)
+            # spurious derivative spike on every clip tail). Select with
+            # the mask + the last valid frame instead of a full-tensor
+            # take_along_axis (which XLA-TPU lowers to sort-based
+            # gather/scatter — see ops/masking.reverse_sequence).
+            from pb_sed_tpu.ops.masking import take_last
+
+            def edge_replicate(z):
+                z_last = take_last(z, seq_len, axis=1, keepdims=True)
+                return jnp.where(mask > 0, z, z_last)
+
             channels = [y]
-            delta = _time_delta(y_edge) * mask
+            delta = _time_delta(edge_replicate(y)) * mask
             if self.add_deltas:
                 channels.append(delta)
             if self.add_delta_deltas:
-                channels.append(_time_delta(
-                    jnp.take_along_axis(delta, t_idx[:, :, None], axis=1)
-                ) * mask)
+                channels.append(
+                    _time_delta(edge_replicate(delta)) * mask)
             return jnp.stack(channels, axis=-1)  # (B, T, M, C)
         return y
 

@@ -6,6 +6,9 @@ Device-side (JAX) equivalents of the reference's sequence ops
 here is shape-static and mask-driven, as required under jit: padded batches
 never influence losses, statistics or pooled outputs.
 """
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
@@ -64,17 +67,50 @@ def reverse_sequence(x, seq_len, axis=-1):
 
     ``reverse_sequence(x, sl)[..., t] == x[..., sl - 1 - t]`` for t < sl.
     Needed for the backward GRU head over padded batches.
+
+    TPU-critical implementation note: the obvious
+    ``take_along_axis(flip(x), src)`` broadcasts the index to the FULL
+    tensor, which XLA-TPU lowers to sort-based gather/scatter — measured
+    ~50 ms forward + ~36 ms backward per call at (32, 500, 256), which
+    dominated the whole FBCRNN train step (the backward head calls this
+    4x per step). Instead: flip (free, layout-only) + per-example
+    circular roll via batched dynamic slices of a doubled buffer. And
+    because flip-then-roll is a SYMMETRIC permutation (P^T == P — the
+    op is an involution), the VJP is the op itself applied to the
+    cotangent, so the backward pass never sees a scatter at all.
     """
     axis = axis % x.ndim
     t = x.shape[axis]
-    flipped = jnp.flip(x, axis=axis)
-    # roll each example left by (t - seq_len): gather implementation
     offsets = (t - seq_len) % jnp.maximum(t, 1)  # (B,)
-    pos = jnp.arange(t)[None, :]  # (1, T)
-    src = (pos + offsets[:, None]) % t  # (B, T)
-    idx_shape = [1] * x.ndim
-    idx_shape[0] = x.shape[0]
-    idx_shape[axis] = t
-    src = src.reshape(idx_shape)
-    src = jnp.broadcast_to(src, x.shape[:axis] + (t,) + x.shape[axis + 1:])
-    return jnp.take_along_axis(flipped, src, axis=axis)
+    return _flip_roll(x, offsets, axis)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _flip_roll(x, offsets, axis):
+    """flip along ``axis`` then roll example b LEFT by ``offsets[b]``."""
+    return _flip_roll_impl(x, offsets, axis)
+
+
+def _flip_roll_impl(x, offsets, axis):
+    t = x.shape[axis]
+    flipped = jnp.flip(x, axis=axis)
+    # batch on axis 0 (all callers), roll axis = axis-1 inside the map
+    def roll_one(xb, off):
+        doubled = jnp.concatenate([xb, xb], axis=axis - 1)
+        return jax.lax.dynamic_slice_in_dim(doubled, off, t, axis=axis - 1)
+    return jax.vmap(roll_one)(flipped, offsets)
+
+
+def _flip_roll_fwd(x, offsets, axis):
+    return _flip_roll_impl(x, offsets, axis), offsets
+
+
+def _flip_roll_bwd(axis, offsets, g):
+    # involution: P^T == P, so the cotangent transforms by the same
+    # cheap flip+roll instead of a (sort-lowered) scatter
+    import numpy as np
+    return (_flip_roll_impl(g, offsets, axis),
+            np.zeros(offsets.shape, dtype=jax.dtypes.float0))
+
+
+_flip_roll.defvjp(_flip_roll_fwd, _flip_roll_bwd)
