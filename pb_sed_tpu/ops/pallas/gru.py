@@ -42,42 +42,67 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 
-def _gru_kernel(xw_ref, w_hh_ref, b_hh_ref, h0_ref, y_ref, h_scratch, *,
-                t_block, hidden):
-    """One (direction, batch-block, time-block) grid step."""
-    t_idx = pl.program_id(2)
+def _gru_kernel(xw_ref, w_cat_ref, b_hh_ref, h0_ref, y_ref, h_scratch, *,
+                t_block, hidden, d):
+    """One (batch-block, time-block) grid step, BOTH directions fused.
+
+    The direction axis is folded into the ROWS of one MXU matmul: the
+    (D*B_blk, H) stacked state multiplies a (H, D*3H) direction-
+    concatenated weight and each direction reads its diagonal block of
+    the (D*B_blk, D*3H) product. With D=2, B_blk=32, H=256 the fat
+    matmul has the SAME MXU tile count as one direction alone (rows
+    stay under the 128-row tile), so the recurrence issues HALF the
+    matmuls of a direction-as-grid-axis layout. Inputs to the matmul
+    are bf16 (one MXU pass instead of the 3-pass f32 decomposition);
+    accumulation and gate math stay f32.
+    """
+    t_idx = pl.program_id(1)
 
     @pl.when(t_idx == 0)
     def _init():
-        h_scratch[:] = h0_ref[0]
+        h_scratch[:] = h0_ref[:].reshape(-1, hidden)
 
-    w_hh = w_hh_ref[0]
-    b_hh = b_hh_ref[0]
+    w_cat = w_cat_ref[:]  # (H, D*3H) bf16
 
-    def body(t, h):
-        xw_t = xw_ref[0, :, t, :]  # (B_blk, 3H)
-        hw = jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b_hh
-        xr = xw_t[:, :hidden]
-        xz = xw_t[:, hidden:2 * hidden]
-        xn = xw_t[:, 2 * hidden:]
-        hr = hw[:, :hidden]
-        hz = hw[:, hidden:2 * hidden]
-        hn = hw[:, 2 * hidden:]
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h_new = (1. - z) * n + z * h
-        y_ref[0, :, t, :] = h_new
-        return h_new
+    def body(t, h_cat):  # h_cat: (D*B_blk, H) f32
+        hw_cat = jnp.dot(h_cat.astype(jnp.bfloat16), w_cat,
+                         preferred_element_type=jnp.float32)
+        bb = h_cat.shape[0] // d
+        outs = []
+        for di in range(d):
+            hw = (hw_cat[di * bb:(di + 1) * bb,
+                         di * 3 * hidden:(di + 1) * 3 * hidden]
+                  + b_hh_ref[di])
+            # xw streams as bf16 (halves the dominant DMA + VMEM slab;
+            # the values are bf16-matmul outputs upstream anyway) in
+            # (D, T, B, 3H) layout — time must stay OFF the (8, 128)
+            # tiled minor dims: a dynamic t index on a bf16 second-
+            # minor dim is unlowerable (sublane pairs pack along it)
+            xw_t = xw_ref[di, t, :, :].astype(jnp.float32)
+            xr = xw_t[:, :hidden]
+            xz = xw_t[:, hidden:2 * hidden]
+            xn = xw_t[:, 2 * hidden:]
+            hr = hw[:, :hidden]
+            hz = hw[:, hidden:2 * hidden]
+            hn = hw[:, 2 * hidden:]
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h_new = (1. - z) * n + z * h_cat[di * bb:(di + 1) * bb]
+            y_ref[di, :, t, :] = h_new
+            outs.append(h_new)
+        return jnp.concatenate(outs, axis=0)
 
     h_scratch[:] = jax.lax.fori_loop(0, t_block, body, h_scratch[:])
 
 
 def _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=False,
                      block_b=32, block_t=32):
-    # block_t=32 keeps the double-buffered (B_blk, T_blk, 3H) slabs
-    # inside the 16 MB scoped-VMEM budget at H=256 (measured: T_blk=64
-    # overflows by 68 KB on v5e)
+    # block_t=32 with the bf16 xw stream: the fused-direction layout
+    # streams BOTH directions' (D, B_blk, T_blk, 3H) slabs per grid
+    # step; f32 slabs at T_blk=32 overflowed the 16 MB scoped-VMEM
+    # budget by 100 KB at D=2, H=256 (measured on v5e), bf16 halves
+    # them (~11 MB total)
     d, b, t, three_h = xw.shape
     h = three_h // 3
     block_b = min(block_b, b)
@@ -89,23 +114,25 @@ def _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=False,
     if t_pad:
         xw = jnp.pad(xw, ((0, 0), (0, 0), (0, t_pad), (0, 0)))
     tt = t + t_pad
-    grid = (d, pl.cdiv(b, block_b), tt // block_t)
+    grid = (pl.cdiv(b, block_b), tt // block_t)
     kernel = functools.partial(
-        _gru_kernel, t_block=block_t, hidden=h)
+        _gru_kernel, t_block=block_t, hidden=h, d=d)
     in_specs = [
-        pl.BlockSpec((1, block_b, block_t, three_h),
-                     lambda di, bi, ti: (di, bi, ti, 0)),
-        pl.BlockSpec((1, h, three_h), lambda di, bi, ti: (di, 0, 0)),
-        pl.BlockSpec((1, 1, three_h), lambda di, bi, ti: (di, 0, 0)),
-        pl.BlockSpec((1, block_b, h), lambda di, bi, ti: (di, bi, 0)),
+        pl.BlockSpec((d, block_t, block_b, three_h),
+                     lambda bi, ti: (0, ti, bi, 0)),
+        pl.BlockSpec((h, d * three_h), lambda bi, ti: (0, 0)),
+        pl.BlockSpec((d, 1, three_h), lambda bi, ti: (0, 0, 0)),
+        pl.BlockSpec((d, block_b, h), lambda bi, ti: (0, bi, 0)),
     ]
     out_specs = pl.BlockSpec(
-        (1, block_b, block_t, h), lambda di, bi, ti: (di, bi, ti, 0))
+        (d, block_b, block_t, h), lambda bi, ti: (0, bi, ti, 0))
     if pltpu is None:  # pragma: no cover
         raise RuntimeError(
             'pallas TPU support unavailable; use StackedGRU with '
             'use_pallas=False')
-    scratch = [pltpu.VMEM((block_b, h), jnp.float32)]
+    scratch = [pltpu.VMEM((d * block_b, h), jnp.float32)]
+    # (D, H, 3H) -> (H, D*3H): w_cat[:, d*3H:(d+1)*3H] == w_hh[d]
+    w_cat = jnp.swapaxes(w_hh, 0, 1).reshape(h, d * three_h)
     y = pl.pallas_call(
         kernel,
         grid=grid,
@@ -114,7 +141,8 @@ def _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=False,
         out_shape=jax.ShapeDtypeStruct((d, b, tt, h), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(xw.astype(jnp.float32), w_hh.astype(jnp.float32),
+    )(jnp.swapaxes(xw, 1, 2).astype(jnp.bfloat16),
+      w_cat.astype(jnp.bfloat16),
       b_hh.reshape(d, 1, three_h).astype(jnp.float32),
       h0.astype(jnp.float32))
     return y[:, :, :t, :]
@@ -141,6 +169,7 @@ def _gru_bwd_kernel(xw_ref, hprev_ref, w_hh_ref, b_hh_ref, g_ref,
         dbhh_ref[0] = jnp.zeros_like(dbhh_ref[0])
 
     w_hh = w_hh_ref[0]
+    w_hh_c = w_hh.astype(jnp.bfloat16)  # bf16 MXU passes, f32 accumulate
     b_hh = b_hh_ref[0]
 
     def body(k, carry):
@@ -148,7 +177,7 @@ def _gru_bwd_kernel(xw_ref, hprev_ref, w_hh_ref, b_hh_ref, g_ref,
         t = t_block - 1 - k  # local reverse sweep
         h_prev = hprev_ref[0, :, t, :]
         xw_t = xw_ref[0, :, t, :]
-        hw = jnp.dot(h_prev, w_hh,
+        hw = jnp.dot(h_prev.astype(jnp.bfloat16), w_hh_c,
                      preferred_element_type=jnp.float32) + b_hh
         xr = xw_t[:, :hidden]
         xz = xw_t[:, hidden:2 * hidden]
@@ -169,10 +198,12 @@ def _gru_bwd_kernel(xw_ref, hprev_ref, w_hh_ref, b_hh_ref, g_ref,
         # grads w.r.t. the hw projection: (dhr, dhz, dhn)
         dgates_h = jnp.concatenate(
             [dpre_r, dz, dpre_n * r], axis=-1)  # (B, 3H)
+        dgates_c = dgates_h.astype(jnp.bfloat16)
         dh_new = dh_total * z + jnp.dot(
-            dgates_h, w_hh.T, preferred_element_type=jnp.float32)
+            dgates_c, w_hh_c.T, preferred_element_type=jnp.float32)
         dw_acc = dw_acc + jnp.dot(
-            h_prev.T, dgates_h, preferred_element_type=jnp.float32)
+            h_prev.astype(jnp.bfloat16).T, dgates_c,
+            preferred_element_type=jnp.float32)
         db_acc = db_acc + jnp.sum(dgates_h, axis=0, keepdims=True)
         return dh_new, dw_acc, db_acc
 

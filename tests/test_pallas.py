@@ -13,6 +13,15 @@ import pytest
 from pb_sed_tpu.ops.pallas.gru import gru_scan, gru_scan_reference
 
 
+def _assert_close_bf16(got, ref):
+    """Tolerance scaled to the reference magnitude: bf16 matmul inputs
+    with f32 accumulation drift ~0.4%% of max per pass (measured <=0.2%%
+    across the suite's shapes)."""
+    ref = np.asarray(ref)
+    atol = 1e-4 + 6e-3 * float(np.max(np.abs(ref)))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=atol)
+
+
 def make_inputs(d=1, b=4, t=37, h=16, seed=0):
     rng = np.random.RandomState(seed)
     xw = rng.randn(d, b, t, 3 * h).astype(np.float32)
@@ -24,11 +33,13 @@ def make_inputs(d=1, b=4, t=37, h=16, seed=0):
 
 
 def test_gru_kernel_matches_scan_interpret():
+    # the kernel runs bf16 MXU matmuls with f32 accumulation; vs the
+    # f32 interpreter reference that is ~2e-3 drift (measured)
     xw, w_hh, b_hh, h0 = make_inputs()
     y_ref = gru_scan_reference(xw, w_hh, b_hh, h0)
     y = gru_scan(xw, w_hh, b_hh, h0, True)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
-                               atol=1e-5)
+                               atol=5e-3)
 
 
 def test_gru_kernel_bidirectional_and_time_blocking():
@@ -39,7 +50,7 @@ def test_gru_kernel_bidirectional_and_time_blocking():
     y = gru_scan(xw, w_hh, b_hh, h0, True)
     assert y.shape == (2, 3, 70, 8)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
-                               atol=1e-5)
+                               atol=5e-3)
 
 
 def test_gru_kernel_gradients_flow():
@@ -58,8 +69,7 @@ def test_gru_kernel_gradients_flow():
     grads_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
         xw, w_hh, b_hh, h0)
     for gp, gr in zip(grads_p, grads_r):
-        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
-                                   atol=1e-4)
+        _assert_close_bf16(gp, gr)
 
 
 def test_stacked_gru_use_pallas_wiring():
@@ -117,7 +127,16 @@ def test_gru_native_tpu():
     y_ref = gru_scan_reference(xw, w_hh, b_hh, h0)
     y = gru_scan(xw, w_hh, b_hh, h0, False)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
-                               atol=1e-4)
+                               atol=1e-2)
+    # gradient parity through BOTH hand-written kernels on hardware
+    grads_p = jax.grad(
+        lambda *a: jnp.sum(jnp.square(gru_scan(*a, False))),
+        argnums=(0, 1, 2, 3))(xw, w_hh, b_hh, h0)
+    grads_r = jax.grad(
+        lambda *a: jnp.sum(jnp.square(gru_scan_reference(*a))),
+        argnums=(0, 1, 2, 3))(xw, w_hh, b_hh, h0)
+    for gp, gr in zip(grads_p, grads_r):
+        _assert_close_bf16(gp, gr)
 
 
 def test_gru_backward_multiblock_accumulation():
@@ -130,21 +149,17 @@ def test_gru_backward_multiblock_accumulation():
                          block_b=4, block_t=8)
     np.testing.assert_allclose(
         np.asarray(y),
-        np.asarray(_gru_scan_reference_d(xw, w_hh, b_hh, h0)), atol=1e-5)
+        np.asarray(_gru_scan_reference_d(xw, w_hh, b_hh, h0)), atol=5e-3)
     rng = np.random.RandomState(5)
     g = jnp.asarray(rng.randn(*y.shape).astype(np.float32))
     dxw, dw, db, dh0 = _gru_scan_pallas_bwd(
         xw, w_hh, b_hh, h0, y, g, interpret=True, block_b=4, block_t=8)
     _, vjp = jax.vjp(_gru_scan_reference_d, xw, w_hh, b_hh, h0)
     dxw_r, dw_r, db_r, dh0_r = vjp(g)
-    np.testing.assert_allclose(np.asarray(dxw), np.asarray(dxw_r),
-                               atol=1e-4)
-    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_r),
-                               atol=1e-4)
-    np.testing.assert_allclose(np.asarray(db), np.asarray(db_r),
-                               atol=1e-4)
-    np.testing.assert_allclose(np.asarray(dh0), np.asarray(dh0_r),
-                               atol=1e-4)
+    _assert_close_bf16(dxw, dxw_r)
+    _assert_close_bf16(dw, dw_r)
+    _assert_close_bf16(db, db_r)
+    _assert_close_bf16(dh0, dh0_r)
 
 
 def test_gru_backward_partial_batch_block():
@@ -162,5 +177,4 @@ def test_gru_backward_partial_batch_block():
         xw, w_hh, b_hh, h0, y, g, interpret=True, block_b=4, block_t=8)
     _, vjp = jax.vjp(_gru_scan_reference_d, xw, w_hh, b_hh, h0)
     for got, ref in zip(grads, vjp(g)):
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   atol=1e-4)
+        _assert_close_bf16(got, ref)
