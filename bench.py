@@ -46,6 +46,38 @@ def _timed(fn, n, *args):
     return time.perf_counter() - t0
 
 
+_PROBE = {'fn': None, 'samples': []}
+
+
+def probe_fast_window(results, label):
+    """Opportunistic fast-window probe (VERDICT r2 #2): re-time a tiny
+    fixed program between lanes; the MINIMUM across the bench run bounds
+    the pool's best-case dispatch+device latency. A ~ms minimum alongside
+    ~200 ms module spans for real steps is throttle evidence; a uniform
+    floor says the pool caps everything."""
+    import jax
+    import jax.numpy as jnp
+    try:
+        if _PROBE['fn'] is None:
+            x = jnp.ones((256, 256), jnp.float32)
+
+            @jax.jit
+            def tiny(x):
+                return (x @ x).sum()
+
+            tiny(x).block_until_ready()  # compile outside the timing
+            _PROBE['fn'] = (tiny, x)
+        tiny, x = _PROBE['fn']
+        best = min(
+            _timed(lambda: tiny(x), 1) for _ in range(5)) * 1e3
+        _PROBE['samples'].append((label, round(best, 3)))
+        results['fast_window_probe_ms'] = dict(_PROBE['samples'])
+        results['fast_window_probe_ms_min'] = min(
+            v for _, v in _PROBE['samples'])
+    except Exception as exc:  # noqa: BLE001 — evidence only
+        print(f'fast-window probe failed: {exc!r}', file=sys.stderr)
+
+
 def lane_train(results):
     import jax
     import jax.numpy as jnp
@@ -116,11 +148,16 @@ def lane_train(results):
 
 
 def lane_ensemble(results, n_models=10):
-    """10-model ensemble sliding-window SED (pseudo-labeling workload)."""
+    """10-model ensemble sliding-window SED (pseudo-labeling workload),
+    through the PRODUCTION path (``default_ensemble_mesh`` — same mesh
+    resolution the CLIs get from ``base.inference``), with a 1-member
+    scaling point and a device trace (span/busy/duty) so the gap to
+    target is attributable (throttle vs program)."""
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _batch, _flagship_model
     from pb_sed_tpu.models.base.ensemble import StackedEnsemble
+    from pb_sed_tpu.parallel.mesh import default_ensemble_mesh
 
     models = []
     for i in range(n_models):
@@ -128,7 +165,10 @@ def lane_ensemble(results, n_models=10):
         b = _batch(m, batch_size=2, seconds=SECONDS, seed=i)
         m.init_variables(b, seed=i)
         models.append(m)
-    runner = StackedEnsemble(models)
+    mesh = default_ensemble_mesh(n_models)
+    runner = StackedEnsemble(models, mesh=mesh)
+    results['ensemble10_mesh'] = (
+        dict(mesh.shape) if mesh is not None else None)
     # bs=8: the sliding-window fold multiplies the batch by ~T windows;
     # bs=32 x 10 members OOM-kills the remote AOT compile helper
     ens_batch = 8
@@ -147,6 +187,41 @@ def lane_ensemble(results, n_models=10):
     results['ensemble10_sed_clips_per_s_chip'] = round(
         ens_batch * n / dt / n_chips, 2)
     results['ensemble10_sed_wall_ms_per_batch'] = round(1e3 * dt / n, 2)
+
+    # member-count scaling: 1-member reference point (same batch/window)
+    try:
+        runner1 = StackedEnsemble(models[:1], mesh=default_ensemble_mesh(1))
+        runner1.sound_event_detection(batch, **kwargs)  # compile
+        dt1 = _timed(
+            lambda: runner1.sound_event_detection(batch, **kwargs), n)
+        results['ensemble1_sed_wall_ms_per_batch'] = round(1e3 * dt1 / n, 2)
+        results['ensemble10_vs_1_scaling'] = round(dt / dt1, 2)
+    except Exception as exc:  # noqa: BLE001
+        print(f'ensemble 1-member point skipped: {exc!r}', file=sys.stderr)
+
+    # device-time evidence for workload #2: trace 3 ensemble batches
+    try:
+        from pathlib import Path
+        import shutil
+        logdir = Path('bench_profile_ensemble')
+        if logdir.exists():
+            shutil.rmtree(logdir)
+        logdir.mkdir()
+        jax.profiler.start_trace(str(logdir))
+        for _ in range(3):
+            y, _ = runner.sound_event_detection(batch, **kwargs)
+        jax.profiler.stop_trace()
+        from bench_xplane import device_step_times_ms, duty_cycle_summary
+        times = device_step_times_ms(logdir)
+        if times:
+            results['ensemble10_device_ms'] = round(
+                float(np.median(times)), 3)
+        duty = duty_cycle_summary(logdir)
+        if duty:
+            results['ensemble10_device_busy_ms'] = duty['busy_ms']
+            results['ensemble10_duty_cycle'] = duty['duty_cycle']
+    except Exception as exc:  # noqa: BLE001
+        print(f'ensemble trace skipped: {exc!r}', file=sys.stderr)
 
 
 def lane_host(results):
@@ -208,6 +283,21 @@ def lane_host(results):
             clips / dt / n_chips, 2)
         results['host_pipeline_batches'] = n_warm
 
+        # HOST-ONLY throughput (VERDICT r2 #6): decode -> bucket ->
+        # collate with NO device step, scaled workers — bounds what the
+        # host path can feed an unthrottled chip
+        provider.train_fetcher.prefetch_workers = 8
+        host_set = provider.get_train_set()
+        for _ in host_set:  # warm decode caches / thread pools
+            pass
+        clips = 0
+        t0 = time.perf_counter()
+        for _ in range(3):
+            for batch in host_set:
+                clips += len(batch['example_id'])
+        dt = time.perf_counter() - t0
+        results['host_only_clips_per_s'] = round(clips / dt, 2)
+
 
 def _flagship_model_for_events(provider):
     """Flagship model resized to the synthetic DB's class count."""
@@ -247,11 +337,18 @@ def lane_profile(results):
     jax.profiler.stop_trace()
     results['profile_trace_dir'] = str(logdir)
     try:
-        from bench_xplane import device_step_times_ms
+        from bench_xplane import device_step_times_ms, duty_cycle_summary
         times = device_step_times_ms(logdir)
         if times:
             results['device_ms_per_step_from_trace'] = round(
                 float(np.median(times)), 3)
+        # direct duty-cycle measurement (VERDICT r2 #2): op-busy time
+        # inside the module span distinguishes a genuinely slow program
+        # (busy ~= span) from pool time-slicing (busy << span)
+        duty = duty_cycle_summary(logdir)
+        if duty:
+            results['train_device_busy_ms_per_step'] = duty['busy_ms']
+            results['train_duty_cycle'] = duty['duty_cycle']
     except Exception as exc:  # noqa: BLE001 — best-effort evidence
         print(f'trace parse skipped: {exc!r}', file=sys.stderr)
 
@@ -340,11 +437,13 @@ def main():
             results[f'{name}_skipped'] = 'budget'
             continue
         t_lane = time.perf_counter()
+        probe_fast_window(results, f'before_{name}')
         try:
             fn(results)
         except Exception as exc:  # noqa: BLE001 — keep the headline alive
             print(f'lane {name} failed: {exc!r}', file=sys.stderr)
             results[f'{name}_error'] = repr(exc)
+        probe_fast_window(results, f'after_{name}')
         # incremental evidence: survives a timeout of a later lane
         print(f'[lane {name} done in '
               f'{time.perf_counter() - t_lane:.1f}s] '

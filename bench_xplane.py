@@ -1,7 +1,8 @@
 """Compatibility shim: the XSpace trace parser lives in
 pb_sed_tpu.utils.xplane (used by bench.py and Trainer.profile_at)."""
 from pb_sed_tpu.utils.xplane import (  # noqa: F401
-    device_step_times_ms, iter_fields)
+    device_step_times_ms, duty_cycle_summary, iter_fields,
+    module_busy_times_ms)
 
 if __name__ == '__main__':
     import sys

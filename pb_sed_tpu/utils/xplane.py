@@ -1,5 +1,6 @@
-"""Minimal XSpace (.xplane.pb) reader: per-step DEVICE time from a JAX
-profiler trace, without tensorflow/tensorboard_plugin_profile.
+"""Minimal XSpace (.xplane.pb) reader: per-step DEVICE time AND true
+op-busy time from a JAX profiler trace, without
+tensorflow/tensorboard_plugin_profile.
 
 Hand-rolled protobuf wire decoding of the fields we need
 (tsl/profiler/protobuf/xplane.proto):
@@ -14,8 +15,15 @@ Hand-rolled protobuf wire decoding of the fields we need
 The TPU device plane carries an "XLA Modules" line whose events are the
 executed XLA programs — for the bench's train loop each event is one
 train step, so the event durations ARE the per-step device times,
-immune to dispatch/tunnel latency (PERFORMANCE.md throttle evidence).
-Best-effort: returns [] when the schema doesn't match.
+immune to dispatch/tunnel latency. The "XLA Ops" line carries the
+individual device ops; summing the UNION of op intervals inside a module
+span yields the time the device actually spent computing that program
+(``module_busy``) — the direct duty-cycle measurement distinguishing a
+genuinely slow program from pool time-slicing (a throttled pool shows a
+long module span with a tiny op-busy fraction). Event offsets are
+relative to their line's ``timestamp_ns``, so spans and ops are placed on
+one absolute axis before intersecting. Best-effort: returns empty when
+the schema doesn't match.
 """
 from pathlib import Path
 
@@ -56,9 +64,10 @@ def iter_fields(buf):
         yield field, wire, value
 
 
-def device_step_times_ms(trace_dir):
-    """Per-step device times (ms) from every .xplane.pb under trace_dir."""
-    times = []
+def _iter_tpu_lines(trace_dir):
+    """Yields (line_name: bytes, timestamp_ns: int, events: list of
+    (offset_ps, duration_ps)) for every line of every TPU plane under
+    ``trace_dir``."""
     for path in Path(trace_dir).rglob('*.xplane.pb'):
         buf = path.read_bytes()
         for field, wire, plane in iter_fields(buf):
@@ -75,24 +84,107 @@ def device_step_times_ms(trace_dir):
                 continue
             for line in lines:
                 line_name = b''
+                timestamp_ns = 0
                 events = []
                 for f3, w3, v3 in iter_fields(line):
                     if f3 == 2 and w3 == 2:
                         line_name = v3
+                    elif f3 == 3 and w3 == 0:
+                        timestamp_ns = v3
                     elif f3 == 4 and w3 == 2:
-                        events.append(v3)
-                if b'XLA Modules' not in line_name:
-                    continue
-                for event in events:
-                    for f4, w4, v4 in iter_fields(event):
-                        if f4 == 3 and w4 == 0:
-                            times.append(v4 / 1e9)  # ps -> ms
+                        offset_ps = 0
+                        duration_ps = 0
+                        for f4, w4, v4 in iter_fields(v3):
+                            if f4 == 2 and w4 == 0:
+                                offset_ps = v4
+                            elif f4 == 3 and w4 == 0:
+                                duration_ps = v4
+                        events.append((offset_ps, duration_ps))
+                yield line_name, timestamp_ns, events
+
+
+def device_step_times_ms(trace_dir):
+    """Per-step device times (ms) from every .xplane.pb under trace_dir."""
+    times = []
+    for line_name, _, events in _iter_tpu_lines(trace_dir):
+        if b'XLA Modules' not in line_name:
+            continue
+        times.extend(duration / 1e9 for _, duration in events)  # ps->ms
     return times
+
+
+def _union_length(intervals):
+    """Total covered length of (start, stop) intervals."""
+    total = 0
+    last_stop = None
+    for start, stop in sorted(intervals):
+        if last_stop is None or start >= last_stop:
+            total += stop - start
+            last_stop = stop
+        elif stop > last_stop:
+            total += stop - last_stop
+            last_stop = stop
+    return total
+
+
+def module_busy_times_ms(trace_dir):
+    """Direct duty-cycle evidence: per module execution, (span_ms,
+    busy_ms) where busy is the union of "XLA Ops" intervals clipped to
+    the module span — the time the device genuinely computed vs the
+    wall span the module occupied (pool time-slicing shows span >> busy).
+    """
+    modules = []   # absolute (start_ps, stop_ps)
+    ops = []       # absolute (start_ps, stop_ps)
+    for line_name, timestamp_ns, events in _iter_tpu_lines(trace_dir):
+        base_ps = timestamp_ns * 1000
+        if b'XLA Modules' in line_name:
+            modules.extend(
+                (base_ps + off, base_ps + off + dur)
+                for off, dur in events)
+        elif b'XLA Ops' in line_name:
+            ops.extend(
+                (base_ps + off, base_ps + off + dur)
+                for off, dur in events)
+    if not modules:
+        return []
+    ops.sort()
+    out = []
+    for start, stop in sorted(modules):
+        inside = [
+            (max(o_start, start), min(o_stop, stop))
+            for o_start, o_stop in ops
+            if o_stop > start and o_start < stop
+        ]
+        busy_ps = _union_length(inside)
+        out.append(((stop - start) / 1e9, busy_ps / 1e9))
+    return out
+
+
+def duty_cycle_summary(trace_dir):
+    """{'span_ms': median module span, 'busy_ms': median op-busy time,
+    'duty_cycle': busy/span} over the module executions in the trace
+    (empty dict when the trace carries no ops line)."""
+    pairs = module_busy_times_ms(trace_dir)
+    pairs = [(s, b) for s, b in pairs if b > 0]
+    if not pairs:
+        return {}
+    import numpy as np
+    spans = np.array([s for s, _ in pairs])
+    busies = np.array([b for _, b in pairs])
+    span = float(np.median(spans))
+    busy = float(np.median(busies))
+    return {
+        'span_ms': round(span, 3),
+        'busy_ms': round(busy, 3),
+        'duty_cycle': round(busy / span, 4) if span > 0 else None,
+        'n_modules': len(pairs),
+    }
 
 
 if __name__ == '__main__':
     import sys
-    ts = device_step_times_ms(sys.argv[1] if len(sys.argv) > 1
-                              else 'bench_profile')
+    trace = sys.argv[1] if len(sys.argv) > 1 else 'bench_profile'
+    ts = device_step_times_ms(trace)
     print(f'{len(ts)} module executions; ms each: '
           f'{[round(t, 3) for t in sorted(ts)[-10:]]}')
+    print('duty:', duty_cycle_summary(trace))
