@@ -226,6 +226,167 @@ def test_weak_inference_pseudo_labeling(tmp_path):
 
 
 @pytest.mark.slow
+def test_self_training_loop_closure(tmp_path):
+    """Drive the DCASE self-training loop around a FULL cycle (SURVEY
+    §3.5 steps 3-6; reference README:192-200,
+    ``weak_label_crnn/training.py:97-99``): round-1 weak training ->
+    tuning -> inference writes a pseudo-labeled database json -> ROUND-2
+    weak training consumes the REWRITTEN json with
+    ``train_unlabel_in_domain=2`` and the x1.5 iteration rule -> strong
+    training on the pseudo labels. The round-2/strong models must train
+    to finite, non-degenerate losses from the pseudo-labeled data."""
+    db, json_path = build_database(tmp_path / 'db', num_train=6,
+                                   num_weak=4, num_validate=3)
+    storage_root = tmp_path / 'exp'
+    ts1 = '2026-01-03-00-00-00-00'
+    round1_dir = storage_root / 'r1' / ts1 / ts1
+
+    from pb_sed_tpu.experiments.weak_label_crnn.training import (
+        ex as train_ex)
+    import pb_sed_tpu.experiments.weak_label_crnn.tuning as tuning_mod
+    import pb_sed_tpu.experiments.weak_label_crnn.inference as inf_mod
+    import pb_sed_tpu.experiments.strong_label_crnn.training as s_train
+    tuning_mod.storage_root = storage_root
+    inf_mod.storage_root = storage_root
+    s_train.storage_root = storage_root
+
+    tiny_model = {
+        'feature_extractor': {
+            'stft_size': 512, 'stft_shift': 160,
+            'stft_window_length': 480, 'number_of_filters': 16},
+        'cnn': {
+            'cnn_2d': {'out_channels': [4, 4],
+                       'pool_size': [[2, 1], [2, 1]], 'kernel_size': 3},
+            'cnn_1d': {'out_channels': [8, 8], 'kernel_size': 3}},
+        'rnn_fwd': {'rnn': {'hidden_size': 8, 'num_layers': 1},
+                    'output_net': {'out_channels': [8, 3],
+                                   'kernel_size': 1}},
+    }
+
+    def provider_updates(json_file, train_set):
+        return {
+            'json_path': str(json_file),
+            'train_set': train_set,
+            'cached_datasets': None,
+            'min_audio_length': 0.2,
+            'train_fetcher': {
+                'batch_size': 4, 'prefetch_workers': 0,
+                'pad_to_multiple': 16,
+                'min_label_diversity_in_batch': 0,
+                'min_dataset_examples_in_batch': None,
+            },
+            'test_fetcher': {'batch_size': 4, 'prefetch_workers': 0,
+                             'pad_to_multiple': 16},
+            'train_transform': {
+                'stft': {'shift': 160, 'window_length': 480, 'size': 512},
+                'anchor_sampling_fn': None,
+                'anchor_shift_sampling_fn': None,
+            },
+            'mix_interval': None,
+        }
+
+    base_train_set = {
+        'train_weak': 1, 'train_strong': 1,
+        'train_synthetic20': 0, 'train_synthetic21': 0,
+        'train_unlabel_in_domain': 0,
+    }
+    # 1. round-1 weak training (no chain)
+    train_ex.run(config_updates={
+        'timestamp': ts1, 'group_name': ts1,
+        'storage_dir': str(round1_dir), 'debug': True, 'batch_size': 4,
+        'data_provider': provider_updates(json_path, base_train_set),
+        'num_iterations': 4, 'checkpoint_interval': 2,
+        'summary_interval': 2, 'lr_rampup_steps': None,
+        'lr_decay_steps': [], 'validation_set_name': None,
+        'trainer': {'model': dict(tiny_model)},
+    })
+    # 2. tuning
+    hp_dir = tuning_mod.ex.run(config_updates={
+        'debug': True, 'crnn_dirs': [str(round1_dir)],
+        'storage_dir': str(storage_root / 'hp'),
+        'eval_set_name': None,
+    })
+    # 3. inference pseudo-labels the in-domain unlabeled set and writes
+    # the rewritten database json
+    out_dir = inf_mod.ex.run(config_updates={
+        'debug': True, 'hyper_params_dir': str(hp_dir),
+        'storage_dir': str(storage_root / 'inf'),
+        'dataset_name': ['train_unlabel_in_domain'],
+        'weak_pseudo_labeling': [True],
+        'strong_pseudo_labeling': [True],
+        'pseudo_labeled_dataset_name': ['train_unlabel_in_domain'],
+    })
+    pseudo_json = Path(out_dir) / Path(json_path).name
+    assert pseudo_json.exists()
+    pseudo_db = json.loads(pseudo_json.read_text())
+    pseudo_ds = pseudo_db['datasets']['train_unlabel_in_domain']
+    assert any(ex_.get('events') for ex_ in pseudo_ds.values()), \
+        'no pseudo labels were attached'
+
+    # 4. ROUND-2 weak training FROM the rewritten json: the pseudo-
+    # labeled in-domain data joins with repeat factor 2 and iterations
+    # scale x1.5 (reference training.py:97-99)
+    ts2 = '2026-01-03-11-00-00-00'
+    round2_dir = storage_root / 'r2' / ts2 / ts2
+    round2_set = dict(base_train_set, train_unlabel_in_domain=2)
+    train_ex.run(config_updates={
+        'timestamp': ts2, 'group_name': ts2,
+        'storage_dir': str(round2_dir), 'debug': True, 'batch_size': 4,
+        'data_provider': provider_updates(pseudo_json, round2_set),
+        'num_iterations': 6,  # 4 x 1.5
+        'checkpoint_interval': 3, 'summary_interval': 2,
+        'lr_rampup_steps': None, 'lr_decay_steps': [],
+        'validation_set_name': None,
+        'trainer': {'model': dict(tiny_model)},
+    })
+    assert (round2_dir / 'checkpoints' / 'ckpt_latest.pkl').exists()
+    rows = [json.loads(line) for line in
+            (round2_dir / 'summary.jsonl').read_text().splitlines()]
+    train_rows = [r for r in rows if r['prefix'] == 'training']
+    assert train_rows and train_rows[-1]['iteration'] == 6
+    losses = [r['loss'] for r in train_rows if 'loss' in r]
+    assert losses and np.isfinite(losses).all(), losses
+
+    # the round-2 provider REALLY consumed pseudo-labeled clips: its
+    # persisted config points at the rewritten json with repeat 2
+    cfg = json.loads((round2_dir / '1' / 'config.json').read_text())
+    assert cfg['data_provider']['json_path'] == str(pseudo_json)
+    assert cfg['data_provider']['train_set'][
+        'train_unlabel_in_domain'] == 2
+
+    # 5-6. strong training on the pseudo-labeled json (SURVEY §3.5
+    # step 5: the BiCRNN consumes the boundary/strong pseudo labels)
+    ts3 = '2026-01-03-22-00-00-00'
+    strong_dir = storage_root / 's2' / ts3 / ts3
+    strong_provider = provider_updates(pseudo_json, round2_set)
+    strong_provider['train_transform'] = {
+        **strong_provider['train_transform'],
+        'provide_strong_targets': True,
+        'provide_boundary_targets': False,
+    }
+    s_train.ex.run(config_updates={
+        'timestamp': ts3, 'group_name': ts3,
+        'storage_dir': str(strong_dir), 'debug': True, 'batch_size': 4,
+        'data_provider': strong_provider,
+        'num_iterations': 4, 'checkpoint_interval': 2,
+        'summary_interval': 2, 'lr_rampup_steps': None,
+        'lr_decay_steps': [], 'validation_set_name': None,
+        'trainer': {'model': {
+            'feature_extractor': dict(tiny_model['feature_extractor']),
+            'cnn': dict(tiny_model['cnn']),
+            'rnn': {'rnn': {'hidden_size': 8, 'num_layers': 1,
+                            'bidirectional': True},
+                    'output_net': {'out_channels': [8, 3],
+                                   'kernel_size': 1}}}},
+    })
+    s_rows = [json.loads(line) for line in
+              (strong_dir / 'summary.jsonl').read_text().splitlines()]
+    s_losses = [r['loss'] for r in s_rows
+                if r['prefix'] == 'training' and 'loss' in r]
+    assert s_losses and np.isfinite(s_losses).all(), s_losses
+
+
+@pytest.mark.slow
 def test_strong_label_chain(tmp_path):
     """Weak tuning -> strong training -> strong tuning -> strong inference
     with pseudo-label TSV export (reference SURVEY.md §3.5 steps 5-6)."""
