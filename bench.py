@@ -375,14 +375,10 @@ def lane_pallas(results):
     y_pal = pal(xw, w_hh, b_hh, h0)
     err = float(jnp.max(jnp.abs(y_ref - y_pal)))
     results['pallas_gru_max_abs_err'] = err
-    # both paths run MXU default-precision f32 matmuls; over 501
-    # recurrent steps they drift ~1e-3 from each other (measured)
-    assert err < 1e-2, err
-    n = 20
-    dt_ref = _timed(lambda: ref(xw, w_hh, b_hh, h0), n)
-    dt_pal = _timed(lambda: pal(xw, w_hh, b_hh, h0), n)
-    results['pallas_gru_ms'] = round(1e3 * dt_pal / n, 3)
-    results['scan_gru_ms'] = round(1e3 * dt_ref / n, 3)
+    # the kernel runs bf16 MXU matmuls + bf16 xw streaming with f32
+    # accumulation/gates; over 501 recurrent steps it drifts ~5e-3 from
+    # the scan path (measured)
+    assert err < 2e-2, err
 
     # training path: forward + Pallas backward kernel vs scan autodiff
     def loss_pal(*a):
@@ -398,10 +394,33 @@ def lane_pallas(results):
     gerr = max(float(jnp.max(jnp.abs(a - b))) / max(
         float(jnp.max(jnp.abs(b))), 1e-9) for a, b in zip(gp, gr))
     results['pallas_gru_grad_max_rel_err'] = round(gerr, 6)
-    dt_gp = _timed(lambda: grad_pal(xw, w_hh, b_hh, h0), n)
-    dt_gr = _timed(lambda: grad_ref(xw, w_hh, b_hh, h0), n)
-    results['pallas_gru_grad_ms'] = round(1e3 * dt_gp / n, 3)
-    results['scan_gru_grad_ms'] = round(1e3 * dt_gr / n, 3)
+
+    # DEVICE-span timing from profiler traces: wall timing on the
+    # remote tunnel both under-blocks single calls (measures dispatch,
+    # ~0.02 ms for any program) and jitters +/-20% across windows; the
+    # XLA-module spans are the ground truth
+    import tempfile
+
+    def traced_ms(fn, n=8):
+        from bench_xplane import device_step_times_ms
+        with tempfile.TemporaryDirectory() as td:
+            jax.profiler.start_trace(td)
+            out = None
+            for _ in range(n):
+                out = fn()
+            jax.block_until_ready(out)
+            jax.profiler.stop_trace()
+            times = device_step_times_ms(td)
+        return round(float(np.median(times)), 3) if times else None
+
+    results['pallas_gru_ms'] = traced_ms(
+        lambda: pal(xw, w_hh, b_hh, h0))
+    results['scan_gru_ms'] = traced_ms(
+        lambda: ref(xw, w_hh, b_hh, h0))
+    results['pallas_gru_grad_ms'] = traced_ms(
+        lambda: grad_pal(xw, w_hh, b_hh, h0))
+    results['scan_gru_grad_ms'] = traced_ms(
+        lambda: grad_ref(xw, w_hh, b_hh, h0))
 
 
 def main():
