@@ -104,9 +104,14 @@ class FBCRNNModule(nn.Module):
         n = -(-t // ws)  # ceil
         pad_back = (n - 1) * ws + wl - pad_front - t
         hp = jnp.pad(h, ((0, 0), (pad_front, max(pad_back, 0)), (0, 0)))
-        starts = np.arange(n) * ws
-        idx = starts[:, None] + np.arange(wl)[None, :]  # (n, wl)
-        windows = hp[:, idx]  # (B, n, wl, C)
+        # window extraction as wl STATIC strided slices instead of an
+        # (n, wl) advanced-index gather: windows[:, i, j] = hp[:, i*ws+j]
+        # so slicing over j gives hp[:, j : j+n*ws : ws] — slices+stack
+        # lower to plain copies on TPU, where the gather materializes a
+        # full index computation per element
+        windows = jnp.stack(
+            [hp[:, j:j + n * ws:ws] for j in range(wl)],
+            axis=2)  # (B, n, wl, C)
         windows = windows.reshape(b * n, wl, c)
         y_fwd, _ = self.rnn_fwd(windows, None, training=training)
         y = self._bounded_sigmoid(y_fwd[:, -1])  # (B*n, K)
