@@ -285,8 +285,13 @@ def lane_host(results):
 
         # HOST-ONLY throughput (VERDICT r2 #6): decode -> bucket ->
         # collate with NO device step, scaled workers — bounds what the
-        # host path can feed an unthrottled chip
-        provider.train_fetcher.prefetch_workers = 8
+        # host path can feed an unthrottled chip. Workers capped at the
+        # core count (this bench host has ONE vCPU; extra threads only
+        # thrash the GIL)
+        import os as _os
+        provider.train_fetcher.prefetch_workers = min(
+            8, _os.cpu_count() or 1)
+        results['host_cpu_count'] = _os.cpu_count()
         host_set = provider.get_train_set()
         for _ in host_set:  # warm decode caches / thread pools
             pass

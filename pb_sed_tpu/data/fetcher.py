@@ -78,15 +78,12 @@ class Collate:
             if key in HOST_KEYS or isinstance(first, str):
                 batch[key] = values
             elif key == 'audio_data':
-                batch[key] = np.stack([
-                    _pad_last(np.asarray(v, np.float32), s_pad)
-                    for v in values])
+                batch[key] = _fill_padded(values, s_pad, np.float32)
             elif isinstance(first, np.ndarray) and first.ndim >= 1:
                 # (K,) stacks directly; (K, T) pads time
                 if first.ndim >= 2 or key.endswith('_targets') \
                         and first.ndim == 2:
-                    batch[key] = np.stack(
-                        [_pad_last(np.asarray(v), t_pad) for v in values])
+                    batch[key] = _fill_padded(values, t_pad)
                 else:
                     batch[key] = np.stack([np.asarray(v) for v in values])
             else:
@@ -99,12 +96,20 @@ class Collate:
         return batch
 
 
-def _pad_last(arr, target):
-    pad = target - arr.shape[-1]
-    if pad <= 0:
-        return arr[..., :target]
-    width = [(0, 0)] * (arr.ndim - 1) + [(0, pad)]
-    return np.pad(arr, width)
+def _fill_padded(values, target, dtype=None):
+    """Stack variable-length arrays into ONE preallocated zero buffer
+    padded/truncated to ``target`` on the last axis — a single copy per
+    example instead of pad-then-stack (two copies; np.stack dominated
+    the measured host-collate time)."""
+    first = np.asarray(values[0])
+    out = np.zeros(
+        (len(values),) + first.shape[:-1] + (target,),
+        dtype or first.dtype)
+    for i, v in enumerate(values):
+        v = np.asarray(v)
+        n = min(v.shape[-1], target)
+        out[i, ..., :n] = v[..., :n]
+    return out
 
 
 def split_quota(quota, num_shards, shard_index):
