@@ -76,21 +76,16 @@ def _dtype(name):
 def _pool2d(x, pool):
     """Pool with reference notation: pool = (freq, time) or scalar.
 
-    Non-overlapping max pools (stride == window, the only kind the
-    recipes use) run as reshape + max: the gradient is then an
-    elementwise compare+broadcast instead of XLA's select-and-scatter
-    (measured 1.5 ms per pool per train step at flagship size).
+    Measured note (round 3): rewriting non-overlapping pools as
+    reshape+max to dodge the select-and-scatter gradient made the
+    train step SLOWER (48.4 -> 58.9 ms device) — splitting the tiled
+    minor dims forces relayout copies that cost more than the
+    select-and-scatter saves. nn.max_pool stays.
     """
     if isinstance(pool, (tuple, list)):
         pf, pt = pool
     else:
         pf = pt = pool
-    if pf == 1 and pt == 1:
-        return x
-    b, t, f, c = x.shape
-    if t % pt == 0 and f % pf == 0:
-        x = x.reshape(b, t // pt, pt, f // pf, pf, c)
-        return x.max(axis=(2, 4))
     if pf == 1 and pt == 1:
         return x
     # x: (B, T, F, C); reference pools are max pools
