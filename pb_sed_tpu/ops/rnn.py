@@ -262,15 +262,25 @@ class GRU(nn.Module, Configurable):
 
     def __call__(self, x, seq_len, training=False):
         """(B, T, C) -> (B, T, K) scores (time-major internally)."""
+        # seq_len=None means every sequence is full (the sliding-window
+        # SED path): the masked reversal degenerates to a plain flip —
+        # skipping the per-example roll avoids doubled-buffer copies
+        # that dominated the ensemble-inference trace
+        full = seq_len is None
         if seq_len is None:
             seq_len = jnp.full((x.shape[0],), x.shape[1], dtype=jnp.int32)
+
+        def rev(z):
+            return (jnp.flip(z, axis=1) if full
+                    else reverse_sequence(z, seq_len, axis=1))
+
         h = x
         if self.core is not None:
             if self.reverse:
-                h = reverse_sequence(h, seq_len, axis=1)
+                h = rev(h)
             h = self.core(h, seq_len, training=training)
             if self.reverse:
-                h = reverse_sequence(h, seq_len, axis=1)
+                h = rev(h)
         y, seq_len = self.head(h, seq_len, training=training)
         return y, seq_len
 
@@ -323,11 +333,13 @@ class TransformerEncoder(nn.Module, Configurable):
         ]
 
     def __call__(self, x, seq_len, training=False):
+        full = seq_len is None
         if seq_len is None:
             seq_len = jnp.full((x.shape[0],), x.shape[1], dtype=jnp.int32)
         h = x
         if self.reverse:
-            h = reverse_sequence(h, seq_len, axis=1)
+            h = (jnp.flip(h, axis=1) if full
+                 else reverse_sequence(h, seq_len, axis=1))
         h = self.in_proj(h)
         t = h.shape[1]
         pos = jnp.arange(t)
@@ -337,7 +349,8 @@ class TransformerEncoder(nn.Module, Configurable):
         for block in self.blocks:
             h = block(h, mask, training=training)
         if self.reverse:
-            h = reverse_sequence(h, seq_len, axis=1)
+            h = (jnp.flip(h, axis=1) if full
+                 else reverse_sequence(h, seq_len, axis=1))
         y, seq_len = self.head(h, seq_len, training=training)
         return y, seq_len
 

@@ -220,6 +220,24 @@ def test_collate_pads_to_palette():
     assert batch['seq_len'].dtype == np.int32
 
 
+def test_collate_single_copy_fill_values():
+    """The preallocated-fill collate (round 3, replaces pad-then-stack)
+    must zero-pad short arrays, truncate long ones, and preserve
+    values/dtypes exactly."""
+    from pb_sed_tpu.data.fetcher import _fill_padded
+    a = np.arange(5, dtype=np.float64)
+    b = np.arange(9, dtype=np.float64)
+    out = _fill_padded([a, b], 7)
+    assert out.shape == (2, 7) and out.dtype == np.float64
+    np.testing.assert_array_equal(out[0], [0, 1, 2, 3, 4, 0, 0])
+    np.testing.assert_array_equal(out[1], [0, 1, 2, 3, 4, 5, 6])
+    # 2-D (K, T) rows + dtype override
+    m = np.ones((3, 4), np.float32)
+    out2 = _fill_padded([m, 2 * m], 6, np.float32)
+    assert out2.shape == (2, 3, 6) and out2.dtype == np.float32
+    assert out2[1, :, :4].max() == 2. and out2[:, :, 4:].max() == 0.
+
+
 def test_fetcher_buckets_fixed_shapes():
     stft = STFT(shift=80, window_length=240, size=256)
     rng = np.random.RandomState(0)
