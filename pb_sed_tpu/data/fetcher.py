@@ -318,7 +318,13 @@ class DataFetcher(Configurable):
 
 class _TakeN:
     """Streaming truncation to the first ``n`` batches (the agreed
-    step budget in example-level shard mode)."""
+    step budget in example-level shard mode). Running DRY before the
+    budget is an ERROR, not an early exit: this host would silently
+    stop stepping while the others block in collectives — the exact
+    hang the budget exists to prevent. (The budget from
+    ``aligned_steps_per_epoch`` is an upper bound when bucketing drops
+    per-palette leftovers or strict quotas hold examples back — reduce
+    it accordingly; the loud failure here is what surfaces that.)"""
 
     def __init__(self, parent, n):
         self.parent = parent
@@ -326,11 +332,19 @@ class _TakeN:
 
     def __iter__(self):
         it = iter(self.parent)
-        for _ in range(self.n):
+        for i in range(self.n):
             try:
                 yield next(it)
             except StopIteration:
-                return
+                raise RuntimeError(
+                    f'sharded batch stream ran dry after {i} of the '
+                    f'agreed steps_per_epoch={self.n} batches; other '
+                    f'hosts would deadlock in collectives. Lower '
+                    f'steps_per_epoch to what the bucketing policy '
+                    f'actually emits (drop_incomplete / quotas / '
+                    f'palette spread reduce the per-host batch count '
+                    f'below min_membership // local_batch_size).'
+                ) from None
 
     def __len__(self):
         # upper bound: the parent may run dry earlier

@@ -366,18 +366,11 @@ class HashShardDataset(Dataset):
     decorrelates the two."""
 
     def __init__(self, parent, num_shards, shard_index):
-        import zlib
         assert 0 <= shard_index < num_shards, (shard_index, num_shards)
         self.parent = parent
         self.num_shards = num_shards
         self.shard_index = shard_index
-
-        def membership(ex):
-            # segments of one clip share a shard: hash the base clip id
-            clip_id = str(ex['example_id']).split('_!segment!_')[0]
-            return zlib.crc32(clip_id.encode()) % num_shards
-
-        self._hash = membership
+        self._hash = lambda ex: shard_of(ex['example_id'], num_shards)
 
     def __iter__(self):
         for ex in self.parent:
@@ -397,6 +390,17 @@ class HashShardDataset(Dataset):
         return False
 
 
+def shard_of(example_id, num_shards):
+    """THE shard-membership function: stable hash of the segment-
+    stripped clip id (segments of one clip share a shard). Single
+    source of truth for ``HashShardDataset`` and
+    ``shard_membership_counts`` — they must agree bit-for-bit or the
+    hosts' agreed step budgets address the wrong membership."""
+    import zlib
+    clip_id = str(example_id).split('_!segment!_')[0]
+    return zlib.crc32(clip_id.encode()) % num_shards
+
+
 def shard_membership_counts(example_ids, num_shards):
     """Per-shard membership counts for hash-of-clip-id sharding.
 
@@ -406,11 +410,9 @@ def shard_membership_counts(example_ids, num_shards):
     without communication — required for step-aligned multi-process
     training with ``shard_level='example'`` (see DataFetcher).
     """
-    import zlib
     counts = [0] * num_shards
     for example_id in example_ids:
-        clip_id = str(example_id).split('_!segment!_')[0]
-        counts[zlib.crc32(clip_id.encode()) % num_shards] += 1
+        counts[shard_of(example_id, num_shards)] += 1
     return counts
 
 

@@ -68,6 +68,10 @@ def reverse_sequence(x, seq_len, axis=-1):
     ``reverse_sequence(x, sl)[..., t] == x[..., sl - 1 - t]`` for t < sl.
     Needed for the backward GRU head over padded batches.
 
+    ``seq_len=None`` means every sequence is full: the masked reversal
+    degenerates to a plain ``jnp.flip`` (no roll, no doubled-buffer
+    copies — those dominated the sliding-window ensemble trace).
+
     TPU-critical implementation note: the obvious
     ``take_along_axis(flip(x), src)`` broadcasts the index to the FULL
     tensor, which XLA-TPU lowers to sort-based gather/scatter — measured
@@ -80,6 +84,8 @@ def reverse_sequence(x, seq_len, axis=-1):
     cotangent, so the backward pass never sees a scatter at all.
     """
     axis = axis % x.ndim
+    if seq_len is None:
+        return jnp.flip(x, axis=axis)
     t = x.shape[axis]
     offsets = (t - seq_len) % jnp.maximum(t, 1)  # (B,)
     return _flip_roll(x, offsets, axis)

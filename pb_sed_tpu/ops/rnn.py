@@ -262,25 +262,18 @@ class GRU(nn.Module, Configurable):
 
     def __call__(self, x, seq_len, training=False):
         """(B, T, C) -> (B, T, K) scores (time-major internally)."""
-        # seq_len=None means every sequence is full (the sliding-window
-        # SED path): the masked reversal degenerates to a plain flip —
-        # skipping the per-example roll avoids doubled-buffer copies
-        # that dominated the ensemble-inference trace
-        full = seq_len is None
+        # seq_len=None (sliding-window SED path): reverse_sequence
+        # degenerates to a plain flip internally
+        rev_len = seq_len
         if seq_len is None:
             seq_len = jnp.full((x.shape[0],), x.shape[1], dtype=jnp.int32)
-
-        def rev(z):
-            return (jnp.flip(z, axis=1) if full
-                    else reverse_sequence(z, seq_len, axis=1))
-
         h = x
         if self.core is not None:
             if self.reverse:
-                h = rev(h)
+                h = reverse_sequence(h, rev_len, axis=1)
             h = self.core(h, seq_len, training=training)
             if self.reverse:
-                h = rev(h)
+                h = reverse_sequence(h, rev_len, axis=1)
         y, seq_len = self.head(h, seq_len, training=training)
         return y, seq_len
 
@@ -333,13 +326,12 @@ class TransformerEncoder(nn.Module, Configurable):
         ]
 
     def __call__(self, x, seq_len, training=False):
-        full = seq_len is None
+        rev_len = seq_len  # None -> reverse_sequence does a plain flip
         if seq_len is None:
             seq_len = jnp.full((x.shape[0],), x.shape[1], dtype=jnp.int32)
         h = x
         if self.reverse:
-            h = (jnp.flip(h, axis=1) if full
-                 else reverse_sequence(h, seq_len, axis=1))
+            h = reverse_sequence(h, rev_len, axis=1)
         h = self.in_proj(h)
         t = h.shape[1]
         pos = jnp.arange(t)
@@ -349,8 +341,7 @@ class TransformerEncoder(nn.Module, Configurable):
         for block in self.blocks:
             h = block(h, mask, training=training)
         if self.reverse:
-            h = (jnp.flip(h, axis=1) if full
-                 else reverse_sequence(h, seq_len, axis=1))
+            h = reverse_sequence(h, rev_len, axis=1)
         y, seq_len = self.head(h, seq_len, training=training)
         return y, seq_len
 

@@ -63,37 +63,67 @@ class EndTrigger(IntervalTrigger):
         pass
 
 
+def _peek(trigger, iteration, epoch):
+    """Side-effect-free evaluation; plain callables are stateless."""
+    if hasattr(trigger, 'peek'):
+        return trigger.peek(iteration, epoch)
+    return trigger(iteration, epoch)
+
+
+def _commit(trigger, iteration, epoch):
+    if hasattr(trigger, 'commit'):
+        trigger.commit(iteration, epoch)
+
+
 class AllTrigger:
+    """Composite AND. Implements the same peek/commit protocol as
+    IntervalTrigger so composites NEST without consuming boundaries:
+    members are only committed when the outermost composite fires."""
+
     def __init__(self, *triggers):
         self.triggers = [
             t if callable(t) else IntervalTrigger(t) for t in triggers]
 
-    def __call__(self, iteration, epoch=0):
-        # peek every member, commit only when the composite fires: a
+    def peek(self, iteration, epoch=0):
+        # peek every member (no short-circuit, no state change): a
         # boundary crossing one member sees while another evaluates
         # False must NOT be consumed, or the composite would skip that
         # boundary forever (its ``last`` would already lie past it)
-        results = [
-            t.peek(iteration, epoch) if hasattr(t, 'peek')
-            else t(iteration, epoch)
-            for t in self.triggers
-        ]
-        fired = all(results)
+        return all([_peek(t, iteration, epoch) for t in self.triggers])
+
+    def commit(self, iteration, epoch=0):
+        for t in self.triggers:
+            _commit(t, iteration, epoch)
+
+    def __call__(self, iteration, epoch=0):
+        fired = self.peek(iteration, epoch)
         if fired:
-            for t in self.triggers:
-                if hasattr(t, 'commit'):
-                    t.commit(iteration, epoch)
+            self.commit(iteration, epoch)
         return fired
 
 
 class AnyTrigger:
+    """Composite OR with the peek/commit protocol (see AllTrigger).
+
+    Committing non-fired members is safe: a member whose peek is False
+    has no boundary in (last, index], so advancing ``last`` consumes
+    nothing."""
+
     def __init__(self, *triggers):
         self.triggers = [
             t if callable(t) else IntervalTrigger(t) for t in triggers]
 
+    def peek(self, iteration, epoch=0):
+        return any([_peek(t, iteration, epoch) for t in self.triggers])
+
+    def commit(self, iteration, epoch=0):
+        for t in self.triggers:
+            _commit(t, iteration, epoch)
+
     def __call__(self, iteration, epoch=0):
-        results = [t(iteration, epoch) for t in self.triggers]
-        return any(results)
+        fired = self.peek(iteration, epoch)
+        self.commit(iteration, epoch)
+        return fired
 
 
 class NotTrigger:

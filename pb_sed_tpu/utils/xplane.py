@@ -65,12 +65,16 @@ def iter_fields(buf):
 
 
 def _iter_tpu_lines(trace_dir):
-    """Yields (line_name: bytes, timestamp_ns: int, events: list of
-    (offset_ps, duration_ps)) for every line of every TPU plane under
-    ``trace_dir``."""
+    """Yields (plane_key, line_name: bytes, timestamp_ns: int, events:
+    list of (offset_ps, duration_ps)) for every line of every TPU plane
+    under ``trace_dir``. ``plane_key`` identifies the DEVICE the line
+    belongs to — intervals from different chips must never be pooled
+    onto one timeline (concurrent data-parallel chips would count each
+    other's compute as busy time)."""
     for path in Path(trace_dir).rglob('*.xplane.pb'):
         buf = path.read_bytes()
-        for field, wire, plane in iter_fields(buf):
+        for plane_idx, (field, wire, plane) in enumerate(
+                iter_fields(buf)):
             if field != 1 or wire != 2:
                 continue
             name = b''
@@ -82,6 +86,7 @@ def _iter_tpu_lines(trace_dir):
                     lines.append(v2)
             if b'TPU' not in name and b'tpu' not in name:
                 continue
+            plane_key = (str(path), plane_idx, name)
             for line in lines:
                 line_name = b''
                 timestamp_ns = 0
@@ -100,13 +105,13 @@ def _iter_tpu_lines(trace_dir):
                             elif f4 == 3 and w4 == 0:
                                 duration_ps = v4
                         events.append((offset_ps, duration_ps))
-                yield line_name, timestamp_ns, events
+                yield plane_key, line_name, timestamp_ns, events
 
 
 def device_step_times_ms(trace_dir):
     """Per-step device times (ms) from every .xplane.pb under trace_dir."""
     times = []
-    for line_name, _, events in _iter_tpu_lines(trace_dir):
+    for _, line_name, _, events in _iter_tpu_lines(trace_dir):
         if b'XLA Modules' not in line_name:
             continue
         times.extend(duration / 1e9 for _, duration in events)  # ps->ms
@@ -132,31 +137,54 @@ def module_busy_times_ms(trace_dir):
     busy_ms) where busy is the union of "XLA Ops" intervals clipped to
     the module span — the time the device genuinely computed vs the
     wall span the module occupied (pool time-slicing shows span >> busy).
+    Intervals are grouped PER DEVICE PLANE: on multi-chip traces,
+    pooling concurrent chips' ops onto one timeline would count other
+    devices' compute as this module's busy time and invert the
+    throttled-vs-slow conclusion.
     """
-    modules = []   # absolute (start_ps, stop_ps)
-    ops = []       # absolute (start_ps, stop_ps)
-    for line_name, timestamp_ns, events in _iter_tpu_lines(trace_dir):
+    import bisect
+    per_plane = {}   # plane_key -> {'modules': [...], 'ops': [...]}
+    for plane_key, line_name, timestamp_ns, events in \
+            _iter_tpu_lines(trace_dir):
         base_ps = timestamp_ns * 1000
+        entry = per_plane.setdefault(
+            plane_key, {'modules': [], 'ops': []})
         if b'XLA Modules' in line_name:
-            modules.extend(
+            entry['modules'].extend(
                 (base_ps + off, base_ps + off + dur)
                 for off, dur in events)
         elif b'XLA Ops' in line_name:
-            ops.extend(
+            entry['ops'].extend(
                 (base_ps + off, base_ps + off + dur)
                 for off, dur in events)
-    if not modules:
-        return []
-    ops.sort()
     out = []
-    for start, stop in sorted(modules):
-        inside = [
-            (max(o_start, start), min(o_stop, stop))
-            for o_start, o_stop in ops
-            if o_stop > start and o_start < stop
-        ]
-        busy_ps = _union_length(inside)
-        out.append(((stop - start) / 1e9, busy_ps / 1e9))
+    for entry in per_plane.values():
+        modules, ops = entry['modules'], entry['ops']
+        if not modules:
+            continue
+        ops.sort()
+        op_starts = [o[0] for o in ops]
+        # prefix max of stops: ops[:i] can only reach into a span
+        # starting at s if prefix_max_stop[i-1] > s (handles nested ops
+        # whose immediate successors end early)
+        prefix_max_stop = []
+        running = 0
+        for _, o_stop in ops:
+            running = max(running, o_stop)
+            prefix_max_stop.append(running)
+        for start, stop in sorted(modules):
+            # ops are sorted by start: only the [lo, hi) window can
+            # intersect [start, stop) — O(log O) per module instead of
+            # a full scan (traces carry 10^5+ op events)
+            hi = bisect.bisect_left(op_starts, stop)
+            lo = bisect.bisect_right(prefix_max_stop, start, hi=hi)
+            inside = [
+                (max(o_start, start), min(o_stop, stop))
+                for o_start, o_stop in ops[lo:hi]
+                if o_stop > start
+            ]
+            busy_ps = _union_length(inside)
+            out.append(((stop - start) / 1e9, busy_ps / 1e9))
     return out
 
 

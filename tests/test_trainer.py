@@ -101,6 +101,21 @@ def test_all_trigger_does_not_consume_boundaries():
     assert blocked == [5, 6]
 
 
+def test_nested_composite_triggers_do_not_consume_boundaries():
+    """Regression (round-3 review): AnyTrigger inside AllTrigger used to
+    commit its interval members on every poll even when the outer
+    composite evaluated False — the consumed-boundary bug one nesting
+    level deeper. Composites now implement peek/commit themselves."""
+    from pb_sed_tpu.train.hooks import AnyTrigger
+    inner = AnyTrigger(IntervalTrigger((2, 'iteration')))
+    gate = lambda i, e=0: i >= 5  # noqa: E731 — stateless member
+    outer = AllTrigger(inner, gate)
+    fired = [i for i in range(8) if outer(i)]
+    # crossings at 2 and 4 are gated but NOT consumed: first unblocked
+    # poll (5) fires the pending boundary, then 6 crosses
+    assert fired == [5, 6]
+
+
 def test_interval_trigger_fires_on_boundary_crossing():
     """Regression: with steps_per_call>1 the iteration advances in
     strides, so exact-multiple matching would stretch the effective
