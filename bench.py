@@ -253,7 +253,10 @@ def lane_host(results):
             },
             'train_fetcher': {'batch_size': BATCH_SIZE,
                               'prefetch_workers': 2,
-                              'drop_incomplete': True},
+                              'drop_incomplete': True,
+                              # halve per-step H2D bytes: the tunnel
+                              # charges ~7 ms + ~1 ms/MB per upload
+                              'audio_dtype': 'int16'},
             'mix_interval': 2.,
         })
         provider = DataProvider.from_config(config)
@@ -287,10 +290,14 @@ def lane_host(results):
         # collate with NO device step, scaled workers — bounds what the
         # host path can feed an unthrottled chip. Workers capped at the
         # core count (this bench host has ONE vCPU; extra threads only
-        # thrash the GIL)
+        # thrash the GIL). f32 transport here: the int16 quantization
+        # that wins the transfer-bound END-TO-END lane above costs an
+        # extra host pass per batch, which this host-capability lane
+        # should not pay
         import os as _os
         provider.train_fetcher.prefetch_workers = min(
             8, _os.cpu_count() or 1)
+        provider.train_fetcher.audio_dtype = 'float32'
         results['host_cpu_count'] = _os.cpu_count()
         host_set = provider.get_train_set()
         for _ in host_set:  # warm decode caches / thread pools

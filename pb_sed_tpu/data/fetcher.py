@@ -58,6 +58,11 @@ class Collate:
     pad_frames_to: int = None          # palette length (None: batch max)
     frames_to_samples: object = None   # callable T -> S (from STFT geometry)
     pad_samples_to: int = None         # waveform pad (None: derive)
+    # 'int16' quantizes the waveform at ops.features.AUDIO_INT16_SCALE
+    # (8x headroom over per-instance normalization) — halves the
+    # host->device batch bytes; the feature extractor dequantizes on
+    # device. Use on transfer-bound hosts (remote links, busy PCIe).
+    audio_dtype: str = 'float32'
 
     def __call__(self, examples):
         assert len(examples) > 0
@@ -78,7 +83,14 @@ class Collate:
             if key in HOST_KEYS or isinstance(first, str):
                 batch[key] = values
             elif key == 'audio_data':
-                batch[key] = _fill_padded(values, s_pad, np.float32)
+                if self.audio_dtype == 'int16':
+                    from pb_sed_tpu.ops.features import AUDIO_INT16_SCALE
+                    out = _fill_padded(values, s_pad, np.float32)
+                    np.multiply(out, AUDIO_INT16_SCALE, out=out)
+                    batch[key] = np.clip(
+                        out, -32768, 32767).astype(np.int16)
+                else:
+                    batch[key] = _fill_padded(values, s_pad, np.float32)
             elif isinstance(first, np.ndarray) and first.ndim >= 1:
                 # (K,) stacks directly; (K, T) pads time
                 if first.ndim >= 2 or key.endswith('_targets') \
@@ -144,6 +156,8 @@ class DataFetcher(Configurable):
     shard_shuffle_seed: int = 0
     # wired by the provider: STFT geometry config for exact waveform padding
     stft: dict = None
+    # waveform transport dtype (see Collate.audio_dtype)
+    audio_dtype: str = 'float32'
 
     def _shard_plan(self):
         num_shards, shard_index = self.num_shards, self.shard_index
@@ -279,7 +293,8 @@ class DataFetcher(Configurable):
                               (shard_index + 1) * n_local]
             return Collate(
                 pad_frames_to=t_pad, frames_to_samples=frames_to_samples,
-                pad_samples_to=s_pad)(batch)
+                pad_samples_to=s_pad,
+                audio_dtype=self.audio_dtype)(batch)
 
         batched = bucketer.map(collate)
         if sharded_examples:

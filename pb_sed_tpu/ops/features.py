@@ -27,6 +27,13 @@ from pb_sed_tpu.ops.masking import sequence_mask
 from pb_sed_tpu.ops.stft import STFT
 from pb_sed_tpu.utils.config import Configurable
 
+# int16 waveform transport scale: per-instance max-normalized audio is
+# in [-1, 1] but host-side scale augmentation / superposition mixing can
+# exceed it, so quantize with 8x headroom (|x| <= 8 representable).
+# Shared contract between Collate(audio_dtype='int16') and the device
+# dequantization in NormalizedLogMelExtractor.
+AUDIO_INT16_SCALE = 4096.0
+
 
 def _time_delta(x, n=2):
     """HTK-style delta along time: regression over +-n frames with edge
@@ -103,6 +110,14 @@ class NormalizedLogMelExtractor(nn.Module, Configurable):
 
         Returns: (B, T, M) features.
         """
+        if x.dtype == jnp.int16:
+            # quantized waveform transport (Collate audio_dtype='int16'):
+            # per-instance-normalized audio quantized at AUDIO_INT16_SCALE
+            # halves the host->device bytes vs f32 — the batch upload is
+            # latency+bandwidth-bound on remote/PCIe links. Dequantize on
+            # device; quantization error (~2.4e-4 at scale 4096) sits far
+            # below the training noise augmentation.
+            x = x.astype(jnp.float32) / AUDIO_INT16_SCALE
         if x.ndim == 2:
             stft = self.stft
             if warp_params is not None:

@@ -238,6 +238,49 @@ def test_collate_single_copy_fill_values():
     assert out2[1, :, :4].max() == 2. and out2[:, :, 4:].max() == 0.
 
 
+def test_collate_int16_audio_transport():
+    """audio_dtype='int16' halves the shipped bytes; the device-side
+    dequantization (feature extractor) must recover the waveform within
+    the 1/AUDIO_INT16_SCALE quantization step."""
+    from pb_sed_tpu.data.fetcher import Collate
+    from pb_sed_tpu.ops.features import AUDIO_INT16_SCALE
+    rng = np.random.RandomState(0)
+    examples = []
+    for n in (400, 700):
+        examples.append({
+            'example_id': f'e{n}', 'dataset': 'd',
+            'audio_data': rng.uniform(-1.5, 1.5, n).astype(np.float32),
+            'seq_len': 4, 'seq_len_samples': n,
+            'weak_targets': np.zeros(3, np.float32),
+        })
+    batch = Collate(pad_samples_to=704, audio_dtype='int16')(examples)
+    assert batch['audio_data'].dtype == np.int16
+    restored = batch['audio_data'].astype(np.float32) / AUDIO_INT16_SCALE
+    np.testing.assert_allclose(
+        restored[1, :700], examples[1]['audio_data'],
+        atol=1. / AUDIO_INT16_SCALE)
+    # model forward parity vs float32 transport (quantization-level)
+    import jax.numpy as jnp
+    from tests.test_trainer import make_model
+    model = make_model()
+    n_samples = 3200
+    frames = STFT(shift=160, window_length=480,
+                  size=512).num_frames(n_samples)
+    base = {
+        'audio_data': rng.randn(2, n_samples).astype(np.float32) * .5,
+        'seq_len': np.full(2, frames, np.int32),
+        'seq_len_samples': np.full(2, n_samples, np.int32),
+        'weak_targets': np.zeros((2, 3), np.float32),
+    }
+    model.init_variables(base, seed=0)
+    y_f32, _ = model.tagging(base)
+    q = np.clip(base['audio_data'] * AUDIO_INT16_SCALE,
+                -32768, 32767).astype(np.int16)
+    y_i16, _ = model.tagging({**base, 'audio_data': q})
+    np.testing.assert_allclose(
+        np.asarray(y_i16), np.asarray(y_f32), atol=5e-3)
+
+
 def test_fetcher_buckets_fixed_shapes():
     stft = STFT(shift=80, window_length=240, size=256)
     rng = np.random.RandomState(0)
