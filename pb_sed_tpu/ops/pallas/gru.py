@@ -96,16 +96,44 @@ def _gru_kernel(xw_ref, w_cat_ref, b_hh_ref, h0_ref, y_ref, h_scratch, *,
     h_scratch[:] = jax.lax.fori_loop(0, t_block, body, h_scratch[:])
 
 
+def _fwd_blocks(d, h, b):
+    """(block_b, block_t) for the forward kernel vs the 16 MB
+    scoped-VMEM budget. Slab bytes scale with d*h*block_b*block_t
+    (bf16 xw in + f32 y out, double-buffered) plus the (h, d*3h) bf16
+    weight. Anchor: (32, 32) measured to fit at D=2, H=256 (f32 xw
+    overflowed by 100 KB; bf16 halves the slab). Larger hidden sizes
+    shrink both blocks conservatively."""
+    if h <= 256:
+        return min(32, b), (32 if d * h <= 512 else 16)
+    return min(16, b), 16
+
+
+def _bwd_blocks(d, h, b):
+    """(block_b, block_t) for the backward kernel: FIVE streamed slabs
+    (~32*h bytes per (d, b, t) cell) PLUS the revisited dw_hh block,
+    which scales h*3h (h^2!) — at D=1, H=512 that block alone is
+    3.1 MB and block_t=16 overflowed scoped VMEM by 5.57 MB (measured
+    on v5e). Anchor: (32, 16) fits D=2, H=256 (block_t=32 overflowed
+    by 1.63 MB)."""
+    if h <= 256:
+        return min(32, b), (16 if d * h <= 512 else 8)
+    # h > 256 does NOT fit the 16 MB scoped-VMEM budget in this layout:
+    # (16, 8) measured 48 KB over at D=1, H=512, (8, 8) paradoxically
+    # 1.12 MB over (allocator fixed structures grow non-monotonically),
+    # and block_t < 8 is illegal (time is the second-minor dim, which
+    # Mosaic requires 8-divisible). ops/rnn.py therefore gates the
+    # kernels to h <= PALLAS_MAX_HIDDEN and larger recipes take the
+    # scan path; these blocks remain for explicit/forced use.
+    return min(16, b), 8
+
+
 def _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=False,
-                     block_b=32, block_t=32):
-    # block_t=32 with the bf16 xw stream: the fused-direction layout
-    # streams BOTH directions' (D, B_blk, T_blk, 3H) slabs per grid
-    # step; f32 slabs at T_blk=32 overflowed the 16 MB scoped-VMEM
-    # budget by 100 KB at D=2, H=256 (measured on v5e), bf16 halves
-    # them (~11 MB total)
+                     block_b=None, block_t=None):
     d, b, t, three_h = xw.shape
     h = three_h // 3
-    block_b = min(block_b, b)
+    auto_b, auto_t = _fwd_blocks(d, h, b)
+    block_b = auto_b if block_b is None else min(block_b, b)
+    block_t = auto_t if block_t is None else block_t
     block_t = min(block_t, t)
     # time must tile exactly: pad with zeros (outputs trimmed below);
     # padded steps still update h but their y is discarded and the
@@ -168,8 +196,10 @@ def _gru_bwd_kernel(xw_ref, hprev_ref, w_hh_ref, b_hh_ref, g_ref,
         dwhh_ref[0] = jnp.zeros_like(dwhh_ref[0])
         dbhh_ref[0] = jnp.zeros_like(dbhh_ref[0])
 
-    w_hh = w_hh_ref[0]
-    w_hh_c = w_hh.astype(jnp.bfloat16)  # bf16 MXU passes, f32 accumulate
+    # w_hh ships as bf16 (it is only ever a bf16 MXU operand, f32
+    # accumulate) — the full-weight VMEM block at f32 was a dominant
+    # fixed cost at H=512 (measured)
+    w_hh_c = w_hh_ref[0]
     b_hh = b_hh_ref[0]
 
     def body(k, carry):
@@ -221,18 +251,19 @@ def _gru_bwd_kernel(xw_ref, hprev_ref, w_hh_ref, b_hh_ref, g_ref,
 
 
 def _gru_scan_pallas_bwd(xw, w_hh, b_hh, h0, y, g, interpret=False,
-                         block_b=32, block_t=16):
-    # block_t=16: the backward streams FIVE double-buffered slabs
-    # (xw, h_prev, g, dxw, plus accumulators); 32 overflowed the 16 MB
-    # scoped-VMEM budget by 1.63 MB on v5e (measured)
+                         block_b=None, block_t=None):
     """Backward pass as one Pallas kernel launch.
 
     Returns (dxw, dw_hh, db_hh, dh0) for cotangent ``g`` w.r.t. the
-    forward outputs ``y``.
+    forward outputs ``y``. Default block_t adapts to d*h
+    (:func:`_bwd_block_t`): 16 at flagship size (32 overflowed scoped
+    VMEM by 1.63 MB on v5e), halving as the hidden size grows.
     """
     d, b, t, three_h = xw.shape
     h = three_h // 3
-    block_b = min(block_b, b)
+    auto_b, auto_t = _bwd_blocks(d, h, b)
+    block_b = auto_b if block_b is None else min(block_b, b)
+    block_t = auto_t if block_t is None else block_t
     block_t = min(block_t, t)
     h_prev = jnp.concatenate([h0[:, :, None, :], y[:, :, :-1, :]], axis=2)
     t_pad = (-t) % block_t
@@ -283,7 +314,7 @@ def _gru_scan_pallas_bwd(xw, w_hh, b_hh, h0, y, g, interpret=False,
         scratch_shapes=[pltpu.VMEM((block_b, h), jnp.float32)],
         interpret=interpret,
     )(xw.astype(jnp.float32), h_prev.astype(jnp.float32),
-      w_hh.astype(jnp.float32),
+      w_hh.astype(jnp.bfloat16),
       b_hh.reshape(d, 1, three_h).astype(jnp.float32),
       g.astype(jnp.float32))
     return (dxw[:, :b, :t, :], dw_hh, db_hh.reshape(d, three_h),

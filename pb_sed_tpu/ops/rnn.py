@@ -29,6 +29,13 @@ _SCAN_UNROLL = 8  # amortize TPU loop overhead over several timesteps
 
 _PALLAS_MODE = 'auto'  # 'auto' | 'force_interpret' (tests) | 'off'
 
+# the hand-written kernels' VMEM blocking fits the 16 MB scoped budget
+# up to the flagship hidden size; larger recurrences (the 'deep' width-2
+# recipes at H=512) take the scan path — measured on v5e: H=512 backward
+# lands 48 KB over the limit at the smallest legal blocking
+# (ops/pallas/gru.py:_bwd_blocks)
+PALLAS_MAX_HIDDEN = 256
+
 
 def set_pallas_mode(mode):
     """Test/debug hook: 'auto' uses the kernels on a real TPU only,
@@ -83,7 +90,7 @@ class GRULayer(nn.Module):
                      preferred_element_type=jnp.float32) + b_ih
         if h0 is None:
             h0 = jnp.zeros((b, hdim), dtype=jnp.float32)
-        if self.use_pallas:
+        if self.use_pallas and hdim <= PALLAS_MAX_HIDDEN:
             enabled, interpret = _pallas_enabled()
             if enabled:
                 from pb_sed_tpu.ops.pallas.gru import gru_scan
@@ -139,7 +146,7 @@ class BiGRULayer(nn.Module):
             w_ih.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32) + b_ih[:, None]
         h0 = jnp.zeros((2, b, hdim), dtype=jnp.float32)
-        if self.use_pallas:
+        if self.use_pallas and hdim <= PALLAS_MAX_HIDDEN:
             enabled, interpret = _pallas_enabled()
             if enabled:
                 from pb_sed_tpu.ops.pallas.gru import gru_scan
