@@ -119,6 +119,35 @@ def _run_pallas_wiring_check():
                                atol=2e-2)
 
 
+def test_use_pallas_gates_on_hidden_size():
+    """hidden_size > PALLAS_MAX_HIDDEN cannot fit the backward kernel's
+    scoped-VMEM budget (measured on v5e, ops/pallas/gru.py:_bwd_blocks);
+    use_pallas must silently take the scan path there — bit-exact
+    equality proves the kernel (bf16 drift) was NOT selected even in
+    force_interpret mode."""
+    from pb_sed_tpu.ops import rnn as rnn_mod
+    from pb_sed_tpu.ops.rnn import StackedGRU, PALLAS_MAX_HIDDEN
+    assert PALLAS_MAX_HIDDEN == 256
+    h = PALLAS_MAX_HIDDEN + 64
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(2, 12, 8).astype(np.float32))
+    seq_len = jnp.asarray([12, 9])
+    rnn_mod.set_pallas_mode('force_interpret')
+    try:
+        for bidi in (False, True):
+            scan_gru = StackedGRU(hidden_size=h, num_layers=1,
+                                  bidirectional=bidi)
+            variables = scan_gru.init(jax.random.PRNGKey(2), x, seq_len)
+            y_scan = scan_gru.apply(variables, x, seq_len)
+            y_gated = StackedGRU(
+                hidden_size=h, num_layers=1, bidirectional=bidi,
+                use_pallas=True).apply(variables, x, seq_len)
+            np.testing.assert_array_equal(
+                np.asarray(y_gated), np.asarray(y_scan))
+    finally:
+        rnn_mod.set_pallas_mode('auto')
+
+
 @pytest.mark.skipif(jax.default_backend() != 'tpu',
                     reason='needs a real TPU (run via bench.py)')
 def test_gru_native_tpu():
