@@ -97,10 +97,11 @@ def rnn_config(width, num_events, num_layers=2):
             'num_layers': num_layers,
             'dropout': .0,
             # Pallas recurrence kernels (ops/pallas/gru.py): on v5e at
-            # flagship size the gradient path is consistently faster
-            # than lax.scan (4.3-4.7 vs 5.0 ms) and the forward is a tie
-            # within tunnel-window noise, with 18x fewer XLA op events
-            # per step; silently falls back to the scan path off-TPU
+            # flagship size both directions win by trace-timed device
+            # spans (fwd 0.426 vs 0.501 ms scan, fwd+grad 2.593 vs
+            # 3.511 ms) with 18x fewer XLA op events per step; silently
+            # falls back to the scan path off-TPU and above
+            # ops/rnn.py:PALLAS_MAX_HIDDEN (VMEM budget)
             'use_pallas': True,
         },
         'output_net': {
