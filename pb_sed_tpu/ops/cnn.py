@@ -26,6 +26,45 @@ from pb_sed_tpu.utils.config import Configurable
 from pb_sed_tpu.utils.misc import to_list
 
 
+class Conv2dMXU(nn.Module):
+    """Drop-in for ``nn.Conv`` (same param tree: kernel (kt, kf, Cin,
+    Cout) + bias) that routes odd-kernel stride-1 SAME convs through the
+    Pallas im2col-GEMM kernels (ops/pallas/conv.py) on TPU.
+
+    XLA's own lowering of the sub-128-channel NHWC convs in this tower
+    runs at 12-25% lane fill (measured — see the conv kernel docstring);
+    the Pallas path packs (F, C) into one dense minor dim and contracts
+    K = kt*kf*Cin on the MXU. Off-TPU (or ``use_pallas=False``) falls
+    back to the exact flax bf16 conv path. Gating mirrors the GRU
+    kernels (ops/rnn.py:set_pallas_mode)."""
+    features: int
+    kernel_size: tuple
+    compute_dtype: Any = jnp.bfloat16
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kf = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            'kernel', nn.initializers.lecun_normal(),
+            (kt, kf, cin, self.features))
+        bias = self.param('bias', nn.initializers.zeros_init(),
+                          (self.features,))
+        if self.use_pallas and kt % 2 == 1 and kf % 2 == 1 \
+                and kt * kf > 1:
+            from pb_sed_tpu.ops.pallas.conv import conv2d_mxu, pltpu
+            from pb_sed_tpu.ops.rnn import _pallas_enabled
+            enabled, interpret = _pallas_enabled()
+            if enabled and pltpu is not None:
+                return conv2d_mxu(x, kernel, bias, interpret)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.compute_dtype),
+            kernel.astype(self.compute_dtype), (1, 1), 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return y + bias.astype(self.compute_dtype)
+
+
 class MaskedBatchNorm(nn.Module):
     """Batch norm whose statistics only see valid frames.
 
@@ -134,6 +173,7 @@ class CNN2d(nn.Module, Configurable):
     dropout: float = 0.
     output_layer: bool = False
     compute_dtype: str = 'bfloat16'
+    use_pallas: bool = False     # Pallas im2col-GEMM convs (TPU-gated)
     in_channels: int = None      # informational (finalize glue)
     input_height: int = None     # informational
 
@@ -163,9 +203,10 @@ class CNN2d(nn.Module, Configurable):
                     h = nn.Dropout(self.dropout, deterministic=False)(h)
             k = kernels[i]
             kt, kf = (k, k) if not isinstance(k, (tuple, list)) else k
-            h = nn.Conv(self.out_channels[i], kernel_size=(kt, kf),
-                        padding='SAME', name=f'conv_{i}',
-                        dtype=_dtype(self.compute_dtype))(h)
+            h = Conv2dMXU(self.out_channels[i], kernel_size=(kt, kf),
+                          name=f'conv_{i}',
+                          compute_dtype=_dtype(self.compute_dtype),
+                          use_pallas=self.use_pallas)(h)
             h = h.astype(jnp.float32)
             if not self.pre_activation and not is_output:
                 if self.norm == 'batch':

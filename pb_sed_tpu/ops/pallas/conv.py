@@ -1,0 +1,388 @@
+"""Pallas TPU kernels for the conv2d stack: packed-lane im2col GEMM.
+
+Reference capability being accelerated: the torch ``CNN2d`` tower
+(``padertorch/contrib/je/modules/conv.py`` as configured by
+``pb_sed/experiments/weak_label_crnn/training.py:158-185``).
+
+Why XLA is slow here (measured on-chip, round 3, bs=32 T=512 bf16
+forward): the tower's early layers run far below the MXU tile bound —
+
+    layer        F  Cin->Cout   XLA ms   % peak   tile-model bound
+    L0         128    1->16      0.280     0.5%      ~1%
+    L1         128   16->16      1.287     1.9%       7%
+    L2          64   16->32      0.939     2.6%      14%
+    L3          64   32->32      1.826     2.7%      18%
+    L4          32   32->64      0.892     5.5%      36%
+    L5          32   64->64      0.954    10.3%      45%
+    L6          16  64->128      0.453    21.7%      90%
+    L7          16 128->128      0.561    35.0%      98%
+    L8           8 128->256      0.415    47.3%      98%
+
+(tile model: eff = M*K*N / (ceil(M/128)*ceil(K/128)*ceil(N/128)*128^3)
+with M=Cout, K=kt*kf*Cin, N=pixels — XLA never materializes the K=9*Cin
+contraction, so it pays ceil-waste on K=Cin AND N=Cout per spatial tap.)
+
+The kernel strategy:
+
+- activations live in HBM as a PACKED buffer (B, C, Ls): channels on
+  sublanes (dense — C is 16..256, a multiple of 8), space packed
+  time-major on lanes, x4[b, t, f, c] at lane t * Fs + pf + f with
+  Fs = F + kf - 1 (the SAME freq halo lives INSIDE each row as zero
+  slots; there are NO time-halo rows — see below). No tile padding is
+  wasted regardless of F or C, and every im2col tap (dt, df) of a
+  time-block becomes ONE STATIC CONTIGUOUS LANE SLICE at offset
+  (t0 + dt - pt) * Fs + df - pf — Mosaic supports those (probed),
+  unlike any reshape that splits or merges the minor dim (probed:
+  rejected).
+- the grid walks (example, time-block). The packed example is a
+  revisited input block (fetched once per example); outputs are tiled
+  (1, Cout, tc*Fs) blocks, so buffers stay small and the per-step
+  program is 9 slice-copies + one MXU matmul — an earlier variant that
+  unrolled all time-blocks into one giant grid-(B,) program OOM-killed
+  the TPU compile backend at C >= 128.
+- per block the kt*kf taps are sliced side by side into a bf16 patch
+  (K, tc*Fs); taps of the first/last block that would read before/past
+  the example zero-fill the out-of-range lanes (this replaces the time
+  halo). One MXU matmul (Cout, K) @ (K, tc*Fs) with f32 accumulation
+  produces the block at the K = kt*kf*Cin tile bound.
+- the kernel masks the wrap-around columns (fp outside [pf, pf+F)) to
+  zero, so the structural pad slots of the output are exactly zero and
+  the buffer is directly consumable as the next conv's input.
+- backward: dx is the SAME kernel on the (structurally re-masked)
+  cotangent with spatially-flipped channel-transposed weights; dw/db
+  rebuild the forward patch and contract it against the masked
+  cotangent over lanes — (Cout, Lb) x (K, Lb) -> (Cout, K) — into
+  revisited f32 accumulators (grid-serial on TPU: deterministic).
+
+``conv2d_mxu`` is the drop-in (B, T, F, C) wrapper (pack -> kernel ->
+unpack); NOTE the per-call pack/unpack relayout costs more than the
+kernel saves — production use is the packed tower path in ``ops/cnn.py``
+which packs once and keeps activations packed across BN/ReLU/conv
+chains. Gating follows ops/pallas/gru.py: TPU-only in production,
+interpreter mode for CPU tests (ops/rnn.py:set_pallas_mode).
+"""
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is unavailable on some hosts (tests run CPU)
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+# bf16 patch scratch budget; tc (time rows per block) scales down as
+# K = kt*kf*Cin grows so the late layers stay inside scoped VMEM
+_PATCH_BUDGET_BYTES = 3 * 1024 * 1024
+
+
+class ConvGeom(NamedTuple):
+    """Static packed-buffer geometry (hashable: custom_vjp nondiff arg).
+
+    Lane map: x4[b, t, f, c] lives at x2[b, c, t * fs + pf + f]; slots
+    fp < pf and fp >= pf + f are structural zeros (the SAME-conv freq
+    halo). There are no time-halo rows; ls carries kf - 1 extra zero
+    tail lanes so interior taps of the last block stay in bounds.
+    """
+    t: int        # real time frames
+    f: int        # real freq bins
+    kt: int       # kernel time extent (odd)
+    kf: int       # kernel freq extent (odd)
+    tc: int       # time rows per block
+    tp: int       # t padded up to a tc multiple
+    fs: int       # f + kf - 1 (lane stride per time row)
+    ls: int       # tp * fs + kf - 1 (packed buffer lanes)
+
+    @property
+    def pt(self):
+        return (self.kt - 1) // 2
+
+    @property
+    def pf(self):
+        return (self.kf - 1) // 2
+
+
+def _with_tc(t, f, kt, kf, tc):
+    fs = f + kf - 1
+    tp = -(-t // tc) * tc
+    ls = tp * fs + kf - 1
+    return ConvGeom(t=t, f=f, kt=kt, kf=kf, tc=tc, tp=tp, fs=fs, ls=ls)
+
+
+def geom_for(t, f, cin, kt, kf):
+    """Geometry whose block size respects the patch budget for cin.
+
+    Mosaic requires tiled block shapes' minor dim divisible by 128, so
+    the block's lane count tc*fs must be a 128-multiple: tc is chosen
+    as a multiple of u = 128 / gcd(fs, 128) (u itself if the patch
+    budget is tighter — ``supported`` rejects shapes where even that
+    blows the scratch budget)."""
+    import math
+    assert kt % 2 == 1 and kf % 2 == 1, (kt, kf)
+    fs = f + kf - 1
+    k = kt * kf * max(cin, 8)
+    u = 128 // math.gcd(fs, 128)
+    budget = _PATCH_BUDGET_BYTES // (k * fs * 2)
+    tc = max(u, min(budget // u, 256 // u) * u)
+    return _with_tc(t, f, kt, kf, tc)
+
+
+def supported(t, f, cin, kt, kf):
+    """Whether the kernels handle this conv within VMEM limits (callers
+    fall back to the XLA conv path otherwise)."""
+    if kt % 2 == 0 or kf % 2 == 0 or kt * kf <= 1:
+        return False
+    g = geom_for(t, f, cin, kt, kf)
+    patch = kt * kf * cin * g.tc * g.fs * 2
+    return patch <= 2 * _PATCH_BUDGET_BYTES
+
+
+def pack4(x4, geom, dtype=jnp.bfloat16):
+    """(B, T, F, C) -> packed (B, C, Ls). Pure pad/transpose/reshape —
+    XLA fuses it into producers; autodiff drops pad-slot cotangents."""
+    g = geom
+    b, t, f, c = x4.shape
+    assert (t, f) == (g.t, g.f), ((t, f), g)
+    x = jnp.pad(x4.astype(dtype),
+                ((0, 0), (0, g.tp - t), (g.pf, g.fs - f - g.pf), (0, 0)))
+    x = x.transpose(0, 3, 1, 2).reshape(b, c, g.tp * g.fs)
+    return jnp.pad(x, ((0, 0), (0, 0), (0, g.ls - g.tp * g.fs)))
+
+
+def unpack4(x2, geom, dtype=None):
+    """Packed (B, C, Ls) -> (B, T, F, C): slice the real region."""
+    g = geom
+    b, c = x2.shape[:2]
+    x = x2[:, :, :g.tp * g.fs].reshape(b, c, g.tp, g.fs)
+    x = x[:, :, :g.t, g.pf:g.pf + g.f].transpose(0, 2, 3, 1)
+    return x if dtype is None else x.astype(dtype)
+
+
+def lane_mask(geom, dtype=jnp.bfloat16):
+    """(1, 1, Ls) 0/1 mask of real-value lanes (row < t, slot fp in
+    [pf, pf+f)). Built from iota — fuses into consumers."""
+    g = geom
+    l = jnp.arange(g.ls)
+    row = l // g.fs
+    fp = l - row * g.fs
+    m = (row < g.t) & (fp >= g.pf) & (fp < g.pf + g.f)
+    return m.astype(dtype)[None, None, :]
+
+
+def _col_mask(g, lb, dtype):
+    """(1, Lb) 0/1 mask of real-f columns within one block's lanes."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, lb), 1)
+    fp = j % g.fs
+    return ((fp >= g.pf) & (fp < g.pf + g.f)).astype(dtype)
+
+
+def _build_patch(x_ref, patch, g, cin, t0):
+    """Write the kt*kf im2col taps of the block starting at time row
+    ``t0`` (a static Python int) into the patch scratch as contiguous
+    static lane slices of the packed example. Out-of-range lanes of
+    edge blocks zero-fill (this replaces time-halo rows)."""
+    lb = g.tc * g.fs
+    for dt in range(g.kt):
+        for df in range(g.kf):
+            k = dt * g.kf + df
+            rows = slice(k * cin, (k + 1) * cin)
+            off = (t0 + dt - g.pt) * g.fs + (df - g.pf)
+            lo = max(off, 0)
+            hi = min(off + lb, g.ls)
+            if lo == off and hi == off + lb:
+                patch[rows, :] = x_ref[0, :, off:off + lb]
+            else:  # first/last block edge taps
+                head = lo - off
+                n = hi - lo
+                if head:
+                    patch[rows, :head] = jnp.zeros(
+                        (cin, head), patch.dtype)
+                if n > 0:
+                    patch[rows, head:head + n] = x_ref[0, :, lo:hi]
+                if head + n < lb:
+                    patch[rows, head + n:] = jnp.zeros(
+                        (cin, lb - head - n), patch.dtype)
+
+
+def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, patch, *, g, cin, cout,
+                use_bias, nb):
+    """One (example, time-block) grid step: x_ref (1, Cin, Ls) bf16
+    revisited, w_ref (Cout, K) bf16, b_ref (Cout, 1) f32, y_ref
+    (1, Cout, tc*Fs) bf16 tiled, patch (K, tc*Fs) bf16 scratch."""
+    lb = g.tc * g.fs
+    ti = pl.program_id(1)
+    for blk in range(nb):  # lowered to nb static program variants
+
+        @pl.when(ti == blk)
+        def _do(blk=blk):
+            _build_patch(x_ref, patch, g, cin, blk * g.tc)
+
+    acc = jnp.dot(w_ref[:], patch[:], preferred_element_type=jnp.float32)
+    if use_bias:
+        acc = acc + b_ref[:]
+    acc = acc * _col_mask(g, lb, jnp.float32)
+    y_ref[0, :, :] = acc.astype(y_ref.dtype)
+
+
+def _dw_kernel(x_ref, g_ref, dwt_ref, db_ref, patch, *, g, cin, cout,
+               nb):
+    """dw/db accumulation per (example, time-block) grid step. dwt_ref
+    (Cout, K) and db_ref (Cout, 1) are revisited f32 blocks accumulated
+    across the (serial, deterministic) grid. g_ref (1, Cout, tc*Fs) is
+    the tiled, structurally PRE-MASKED cotangent block."""
+    b_idx = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    @pl.when((b_idx == 0) & (ti == 0))
+    def _zero():
+        dwt_ref[:] = jnp.zeros_like(dwt_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    for blk in range(nb):
+
+        @pl.when(ti == blk)
+        def _do(blk=blk):
+            _build_patch(x_ref, patch, g, cin, blk * g.tc)
+
+    gm = g_ref[0, :, :]
+    dwt_ref[:] += jax.lax.dot_general(
+        gm, patch[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_ref[:] += jnp.sum(gm.astype(jnp.float32), axis=1, keepdims=True)
+
+
+def _w2(w):
+    """(kt, kf, Cin, Cout) -> (Cout, K) bf16 with K in (dt, df, ci)
+    order, matching the patch row layout."""
+    kt, kf, cin, cout = w.shape
+    return w.reshape(kt * kf * cin, cout).T.astype(jnp.bfloat16)
+
+
+def _fwd_packed(x2, w, b, geom, interpret):
+    """Raw packed forward. x2 (B, Cin, Ls) -> (B, Cout, Ls) bf16."""
+    g = geom
+    bsz, cin, _ = x2.shape
+    kt, kf, wcin, cout = w.shape
+    assert wcin == cin, (w.shape, x2.shape)
+    if pltpu is None:  # pragma: no cover
+        raise RuntimeError('pallas TPU support unavailable')
+    k = kt * kf * cin
+    nb = g.tp // g.tc
+    lb = g.tc * g.fs
+    b2 = (jnp.zeros((cout, 1), jnp.float32) if b is None
+          else b.reshape(cout, 1).astype(jnp.float32))
+    kernel = functools.partial(
+        _fwd_kernel, g=g, cin=cin, cout=cout, use_bias=b is not None,
+        nb=nb)
+    y = pl.pallas_call(
+        kernel,
+        grid=(bsz, nb),
+        in_specs=[
+            pl.BlockSpec((1, cin, g.ls), lambda bi, ti: (bi, 0, 0)),
+            pl.BlockSpec((cout, k), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((cout, 1), lambda bi, ti: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, cout, lb), lambda bi, ti: (bi, 0, ti)),
+        out_shape=jax.ShapeDtypeStruct((bsz, cout, nb * lb),
+                                       jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((k, lb), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(x2.astype(jnp.bfloat16), _w2(w), b2)
+    # tail lanes (kf - 1) are structural zeros by definition
+    return jnp.pad(y, ((0, 0), (0, 0), (0, g.ls - nb * lb)))
+
+
+def _dw_packed(x2, gm2, w_shape, geom, interpret):
+    """Raw packed dw/db: returns ((kt, kf, Cin, Cout) f32, (Cout,) f32).
+    gm2 must already be structurally masked (real-value lanes only)."""
+    g = geom
+    bsz, cin, _ = x2.shape
+    kt, kf, _, cout = w_shape
+    if pltpu is None:  # pragma: no cover
+        raise RuntimeError('pallas TPU support unavailable')
+    k = kt * kf * cin
+    nb = g.tp // g.tc
+    lb = g.tc * g.fs
+    kernel = functools.partial(_dw_kernel, g=g, cin=cin, cout=cout, nb=nb)
+    dwt, db = pl.pallas_call(
+        kernel,
+        grid=(bsz, nb),
+        in_specs=[
+            pl.BlockSpec((1, cin, g.ls), lambda bi, ti: (bi, 0, 0)),
+            pl.BlockSpec((1, cout, lb), lambda bi, ti: (bi, 0, ti)),
+        ],
+        out_specs=[
+            pl.BlockSpec((cout, k), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((cout, 1), lambda bi, ti: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cout, k), jnp.float32),
+            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, lb), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(x2.astype(jnp.bfloat16),
+      gm2[:, :, :nb * lb].astype(jnp.bfloat16))
+    # (Cout, (dt, df, ci)) -> (kt, kf, Cin, Cout)
+    dw = dwt.reshape(cout, kt, kf, cin).transpose(1, 2, 3, 0)
+    return dw, db.reshape(cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv2d_packed(x2, w, b, geom, interpret=False):
+    """Odd-kernel stride-1 SAME conv2d on the packed-lane layout.
+
+    Args:
+        x2: (B, Cin, Ls) packed input (``pack4``; structural slots 0).
+        w: (kt, kf, Cin, Cout) float32 weights.
+        b: (Cout,) float32 bias or None.
+        geom: ConvGeom (static).
+        interpret: run in the Pallas interpreter (CPU tests).
+
+    Returns: (B, Cout, Ls) bfloat16 packed output whose structural
+    slots are exactly zero (directly consumable by the next conv).
+    """
+    return _fwd_packed(x2, w, b, geom, interpret)
+
+
+def _conv2d_packed_fwd(x2, w, b, geom, interpret):
+    return _fwd_packed(x2, w, b, geom, interpret), (x2, w, b is None)
+
+
+def _conv2d_packed_bwd(geom, interpret, res, gy):
+    x2, w, no_bias = res
+    # y = mask * raw: kill cotangents at structural slots (the next
+    # layer's taps DO read them, so gy is nonzero there)
+    gm = (gy * lane_mask(geom, gy.dtype)).astype(jnp.bfloat16)
+    # dx = SAME-conv of gy with spatially flipped, channel-transposed w
+    w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    dx = _fwd_packed(gm, w_flip, None, geom, interpret).astype(x2.dtype)
+    dw, db = _dw_packed(x2, gm, w.shape, geom, interpret)
+    return dx, dw.astype(w.dtype), (None if no_bias else
+                                    db.astype(jnp.float32))
+
+
+conv2d_packed.defvjp(_conv2d_packed_fwd, _conv2d_packed_bwd)
+
+
+def conv2d_mxu(x, w, b, interpret=False):
+    """Drop-in (B, T, F, Cin) -> (B, T, F, Cout) bfloat16 SAME conv.
+
+    Matches ``lax.conv_general_dilated(x.astype(bf16), w.astype(bf16),
+    (1, 1), 'SAME', NHWC) + b`` — the flax bf16 conv path it replaces —
+    with f32 accumulation. pack/unpack are XLA glue whose relayout cost
+    exceeds the kernel's win when paid PER LAYER: production use is the
+    packed tower (ops/cnn.py), which packs once per tower segment.
+    """
+    bsz, t, f, cin = x.shape
+    kt, kf, _, _ = w.shape
+    geom = geom_for(t, f, cin, kt, kf)
+    x2 = pack4(x, geom)
+    y2 = conv2d_packed(x2, w, b, geom, interpret)
+    return unpack4(y2, geom)

@@ -64,6 +64,75 @@ def iter_fields(buf):
         yield field, wire, value
 
 
+def _parse_plane(path, plane_idx, plane):
+    """Decode one XPlane message into (name, event_metadata, lines).
+
+    ``event_metadata`` maps metadata_id -> name (bytes) from the plane's
+    ``map<int64, XEventMetadata> event_metadata = 4`` field; ``lines`` is
+    [(line_name, timestamp_ns, [(metadata_id, offset_ps, duration_ps)])].
+    """
+    name = b''
+    raw_lines = []
+    event_metadata = {}
+    for f2, w2, v2 in iter_fields(plane):
+        if f2 == 2 and w2 == 2:
+            name = v2
+        elif f2 == 3 and w2 == 2:
+            raw_lines.append(v2)
+        elif f2 == 4 and w2 == 2:  # map entry {key=1, value=XEventMetadata}
+            key = None
+            meta_name = b''
+            for f3, w3, v3 in iter_fields(v2):
+                if f3 == 1 and w3 == 0:
+                    key = v3
+                elif f3 == 2 and w3 == 2:
+                    for f4, w4, v4 in iter_fields(v3):
+                        if f4 == 2 and w4 == 2:  # XEventMetadata.name
+                            meta_name = v4
+            if key is not None:
+                event_metadata[key] = meta_name
+    lines = []
+    for line in raw_lines:
+        line_name = b''
+        timestamp_ns = 0
+        events = []
+        for f3, w3, v3 in iter_fields(line):
+            if f3 == 2 and w3 == 2:
+                line_name = v3
+            elif f3 == 3 and w3 == 0:
+                timestamp_ns = v3
+            elif f3 == 4 and w3 == 2:
+                metadata_id = 0
+                offset_ps = 0
+                duration_ps = 0
+                for f4, w4, v4 in iter_fields(v3):
+                    if f4 == 1 and w4 == 0:
+                        metadata_id = v4
+                    elif f4 == 2 and w4 == 0:
+                        offset_ps = v4
+                    elif f4 == 3 and w4 == 0:
+                        duration_ps = v4
+                events.append((metadata_id, offset_ps, duration_ps))
+        lines.append((line_name, timestamp_ns, events))
+    return name, event_metadata, lines
+
+
+def _iter_tpu_planes(trace_dir):
+    """Yields (plane_key, event_metadata, lines) per TPU plane (see
+    ``_parse_plane``) under ``trace_dir``."""
+    for path in Path(trace_dir).rglob('*.xplane.pb'):
+        buf = path.read_bytes()
+        for plane_idx, (field, wire, plane) in enumerate(
+                iter_fields(buf)):
+            if field != 1 or wire != 2:
+                continue
+            name, event_metadata, lines = _parse_plane(
+                path, plane_idx, plane)
+            if b'TPU' not in name and b'tpu' not in name:
+                continue
+            yield (str(path), plane_idx, name), event_metadata, lines
+
+
 def _iter_tpu_lines(trace_dir):
     """Yields (plane_key, line_name: bytes, timestamp_ns: int, events:
     list of (offset_ps, duration_ps)) for every line of every TPU plane
@@ -71,41 +140,10 @@ def _iter_tpu_lines(trace_dir):
     belongs to — intervals from different chips must never be pooled
     onto one timeline (concurrent data-parallel chips would count each
     other's compute as busy time)."""
-    for path in Path(trace_dir).rglob('*.xplane.pb'):
-        buf = path.read_bytes()
-        for plane_idx, (field, wire, plane) in enumerate(
-                iter_fields(buf)):
-            if field != 1 or wire != 2:
-                continue
-            name = b''
-            lines = []
-            for f2, w2, v2 in iter_fields(plane):
-                if f2 == 2 and w2 == 2:
-                    name = v2
-                elif f2 == 3 and w2 == 2:
-                    lines.append(v2)
-            if b'TPU' not in name and b'tpu' not in name:
-                continue
-            plane_key = (str(path), plane_idx, name)
-            for line in lines:
-                line_name = b''
-                timestamp_ns = 0
-                events = []
-                for f3, w3, v3 in iter_fields(line):
-                    if f3 == 2 and w3 == 2:
-                        line_name = v3
-                    elif f3 == 3 and w3 == 0:
-                        timestamp_ns = v3
-                    elif f3 == 4 and w3 == 2:
-                        offset_ps = 0
-                        duration_ps = 0
-                        for f4, w4, v4 in iter_fields(v3):
-                            if f4 == 2 and w4 == 0:
-                                offset_ps = v4
-                            elif f4 == 3 and w4 == 0:
-                                duration_ps = v4
-                        events.append((offset_ps, duration_ps))
-                yield plane_key, line_name, timestamp_ns, events
+    for plane_key, _, lines in _iter_tpu_planes(trace_dir):
+        for line_name, timestamp_ns, events in lines:
+            yield plane_key, line_name, timestamp_ns, [
+                (off, dur) for _, off, dur in events]
 
 
 def device_step_times_ms(trace_dir):
@@ -188,6 +226,41 @@ def module_busy_times_ms(trace_dir):
     return out
 
 
+def op_breakdown_ms(trace_dir, top=None, collapse=True):
+    """Aggregate "XLA Ops" device time by op NAME: {name: (total_ms,
+    count)} sorted by total time, descending. This is the attribution
+    tool that located the round-2 sort-lowered gathers: module spans say
+    *how long* a program ran, this says *which HLO ops* the time went to.
+
+    ``collapse=True`` strips trailing ``.N`` instance suffixes (XLA names
+    ops ``fusion.123``/``convolution.7``) so repeated instances of the
+    same op kind within a program aggregate; exact instance names are
+    kept with ``collapse=False``. Multi-plane traces aggregate over all
+    devices (per-device attribution rarely matters for breakdowns; use
+    ``module_busy_times_ms`` for duty-cycle questions).
+    """
+    import re
+    totals = {}
+    for _, event_metadata, lines in _iter_tpu_planes(trace_dir):
+        for line_name, _, events in lines:
+            if b'XLA Ops' not in line_name:
+                continue
+            for metadata_id, _, duration_ps in events:
+                name = event_metadata.get(metadata_id, b'?')
+                try:
+                    name = name.decode()
+                except UnicodeDecodeError:
+                    name = repr(name)
+                if collapse:
+                    name = re.sub(r'\.\d+$', '', name)
+                t, c = totals.get(name, (0., 0))
+                totals[name] = (t + duration_ps / 1e9, c + 1)
+    out = sorted(totals.items(), key=lambda kv: -kv[1][0])
+    if top:
+        out = out[:top]
+    return {k: (round(v[0], 3), v[1]) for k, v in out}
+
+
 def duty_cycle_summary(trace_dir):
     """{'span_ms': median module span, 'busy_ms': median op-busy time,
     'duty_cycle': busy/span} over the module executions in the trace
@@ -216,3 +289,6 @@ if __name__ == '__main__':
     print(f'{len(ts)} module executions; ms each: '
           f'{[round(t, 3) for t in sorted(ts)[-10:]]}')
     print('duty:', duty_cycle_summary(trace))
+    print('top ops (total ms, count):')
+    for name, (ms, count) in op_breakdown_ms(trace, top=40).items():
+        print(f'  {ms:9.3f}  x{count:<5d} {name}')
