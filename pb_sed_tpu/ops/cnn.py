@@ -43,14 +43,22 @@ class Conv2dMXU(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, packed=None):
+        """``packed``: a freq-major ConvGeom — then ``x`` is the packed
+        (B, Cin, Ls) buffer of the tower path and the conv runs as the
+        Pallas packed kernel (no relayout; see CNN2d._packed_forward)."""
         kt, kf = self.kernel_size
-        cin = x.shape[-1]
+        cin = x.shape[1] if packed is not None else x.shape[-1]
         kernel = self.param(
             'kernel', nn.initializers.lecun_normal(),
             (kt, kf, cin, self.features))
         bias = self.param('bias', nn.initializers.zeros_init(),
                           (self.features,))
+        if packed is not None:
+            from pb_sed_tpu.ops.pallas.conv import conv2d_packed_fm
+            from pb_sed_tpu.ops.rnn import _pallas_enabled
+            _, interpret = _pallas_enabled()
+            return conv2d_packed_fm(x, kernel, bias, packed, interpret)
         if self.use_pallas and kt % 2 == 1 and kf % 2 == 1 \
                 and kt * kf > 1:
             from pb_sed_tpu.ops.pallas.conv import conv2d_mxu, pltpu
@@ -74,8 +82,14 @@ class MaskedBatchNorm(nn.Module):
     momentum: float = 0.95
 
     @nn.compact
-    def __call__(self, x, seq_len, training=False):
-        c = x.shape[-1]
+    def __call__(self, x, seq_len, training=False, packed_mask=None):
+        """``packed_mask``: (B, 1, L) valid-lane mask — then ``x`` is a
+        freq-major packed (B, C, L) buffer (channels on dim 1) and the
+        statistics are computed over (batch, lanes) with the mask; the
+        variable/param tree is identical to the unpacked path, so
+        checkpoints are interchangeable."""
+        packed = packed_mask is not None
+        c = x.shape[1] if packed else x.shape[-1]
         ra_mean = self.variable('batch_stats', 'mean',
                                 lambda: jnp.zeros((c,)))
         ra_var = self.variable('batch_stats', 'var', lambda: jnp.ones((c,)))
@@ -83,6 +97,27 @@ class MaskedBatchNorm(nn.Module):
                                     lambda: jnp.zeros(()))
         gamma = self.param('scale', nn.initializers.ones, (c,))
         beta = self.param('shift', nn.initializers.zeros, (c,))
+        if packed:
+            xf = x.astype(jnp.float32)
+            m = packed_mask.astype(jnp.float32)
+            if training:
+                count = jnp.maximum(m.sum(), 1.)
+                mean = (xf * m).sum((0, 2)) / count
+                var = (jnp.square(xf - mean[:, None]) * m).sum(
+                    (0, 2)) / count
+                momentum = jnp.where(
+                    initialized.value > 0, self.momentum, 0.)
+                ra_mean.value = (momentum * ra_mean.value
+                                 + (1 - momentum) * mean)
+                ra_var.value = (momentum * ra_var.value
+                                + (1 - momentum) * var)
+                initialized.value = jnp.ones(())
+            else:
+                mean = ra_mean.value
+                var = ra_var.value
+            rs = jax.lax.rsqrt(var + self.eps)
+            return ((xf - mean[:, None]) * (rs * gamma)[:, None]
+                    + beta[:, None])
         mask = sequence_mask(seq_len, x.shape[1])  # (B, T)
         mask = mask.reshape(mask.shape + (1,) * (x.ndim - 2))
         if training:
@@ -110,6 +145,15 @@ def _dtype(name):
     if name in (None, 'float32'):
         return jnp.float32
     return jnp.dtype(name)
+
+
+def _pool_fp_tp(pool):
+    """Reference pool notation -> (freq_pool, time_pool) ints."""
+    if isinstance(pool, (tuple, list)):
+        pf, pt = pool
+    else:
+        pf = pt = pool
+    return int(pf), int(pt)
 
 
 def _pool2d(x, pool):
@@ -177,6 +221,126 @@ class CNN2d(nn.Module, Configurable):
     in_channels: int = None      # informational (finalize glue)
     input_height: int = None     # informational
 
+    def _packed_plan(self, x, kernels, pools, residuals):
+        """Freq-major packed-tower plan: (pack_at, {i: geom}, interpret)
+        or None when the configuration or backend requires the unpacked
+        XLA path. Supported from the pack layer on: batch norm, dropout
+        0, no residuals, odd >1x1 kernels, 16-multiple channels,
+        freq-only pools in {1, 2} and a shared lane stride."""
+        if not self.use_pallas or x.ndim != 4:
+            return None
+        if self.norm != 'batch' or self.dropout > 0:
+            return None
+        if any(r is not None for r in residuals):
+            return None
+        from pb_sed_tpu.ops.pallas import conv as pconv
+        from pb_sed_tpu.ops.rnn import _pallas_enabled
+        enabled, interpret = _pallas_enabled()
+        if not enabled or pconv.pltpu is None:
+            return None
+        n = len(self.out_channels)
+        t, f, cin = x.shape[1], x.shape[2], x.shape[3]
+        pack_at = None
+        geoms = {}
+        ts = None
+        for i in range(n):
+            k = kernels[i]
+            kt, kf = (k, k) if not isinstance(k, (tuple, list)) else k
+            pf_, pt_ = _pool_fp_tp(pools[i])
+            cout = self.out_channels[i]
+            ok = (
+                kt % 2 == 1 and kf % 2 == 1 and kt * kf > 1
+                and cin % 16 == 0 and cout % 16 == 0
+                and pt_ == 1 and pf_ in (1, 2)
+                and (pf_ == 1 or f % 2 == 0)
+                and pconv.fm_supported(t, f, kt, kf, max(cin, cout))
+            )
+            if ok:
+                g = pconv.fm_geom(t, f, kt, kf, max(cin, cout))
+                ok = ts is None or g.fs == ts
+            if ok:
+                if pack_at is None:
+                    pack_at = i
+                    ts = g.fs
+                geoms[i] = g
+            elif pack_at is not None:
+                return None  # only a fully packed SUFFIX is supported
+            cin = cout
+            f = -(-f // pf_)
+            t = -(-t // pt_)
+        if pack_at is None or n - pack_at < 2:
+            return None
+        return pack_at, geoms, interpret
+
+    def _packed_forward(self, x, seq_len, training, plan, kernels,
+                        pools):
+        """Freq-major packed tower: pack once after the unpacked prefix,
+        run BN -> act -> conv -> pool on the packed (B, C, Ls) layout
+        (re-masking structural slots after every affine shift), unpack
+        once. Param/variable tree is identical to the unpacked path."""
+        from pb_sed_tpu.ops.pallas import conv as pconv
+        pack_at, geoms, interpret = plan
+        act = _act(self.activation_fn)
+        norm_kwargs = self.norm_kwargs or {}
+        n = len(self.out_channels)
+        for i in range(pack_at):  # unpacked prefix (no residuals by plan)
+            is_output = self.output_layer and i == n - 1
+            h = x
+            if self.pre_activation and not is_output:
+                h = MaskedBatchNorm(**norm_kwargs, name=f'norm_{i}')(
+                    h, seq_len, training)
+                h = act(h)
+            k = kernels[i]
+            kt, kf = (k, k) if not isinstance(k, (tuple, list)) else k
+            h = Conv2dMXU(self.out_channels[i], kernel_size=(kt, kf),
+                          name=f'conv_{i}',
+                          compute_dtype=_dtype(self.compute_dtype),
+                          use_pallas=False)(h)
+            h = h.astype(jnp.float32)
+            if not self.pre_activation and not is_output:
+                h = MaskedBatchNorm(**norm_kwargs, name=f'norm_{i}')(
+                    h, seq_len, training)
+                h = act(h)
+            h = _pool2d(h, pools[i])
+            _, pt_ = _pool_fp_tp(pools[i])
+            if pt_ > 1:
+                seq_len = -(-seq_len // pt_)
+            x = h
+        g = geoms[pack_at]
+        x2 = pconv.pack_fm(x, g)
+        f_rows = g.t
+        for i in range(pack_at, n):
+            g = geoms[i]
+            assert g.t == f_rows, (g, f_rows)
+            is_output = self.output_layer and i == n - 1
+            if not is_output:
+                struct = pconv.lane_mask(g, jnp.float32)
+                valid = pconv.fm_valid_mask(g, seq_len)
+            if self.pre_activation and not is_output:
+                h = MaskedBatchNorm(**norm_kwargs, name=f'norm_{i}')(
+                    x2, seq_len, training, packed_mask=valid)
+                x2 = (act(h) * struct).astype(jnp.bfloat16)
+            k = kernels[i]
+            kt, kf = (k, k) if not isinstance(k, (tuple, list)) else k
+            x2 = Conv2dMXU(self.out_channels[i], kernel_size=(kt, kf),
+                           name=f'conv_{i}',
+                           compute_dtype=_dtype(self.compute_dtype),
+                           use_pallas=True)(x2, packed=g)
+            if not self.pre_activation and not is_output:
+                h = MaskedBatchNorm(**norm_kwargs, name=f'norm_{i}')(
+                    x2, seq_len, training, packed_mask=valid)
+                x2 = (act(h) * struct).astype(jnp.bfloat16)
+            pf_, _ = _pool_fp_tp(pools[i])
+            if pf_ == 2:
+                f_rows //= 2
+                x2 = pconv.maxpool2_rows_packed(
+                    x2, f_rows, g.fs, interpret)
+        gl = geoms[n - 1]
+        g_out = pconv.ConvGeom(
+            t=f_rows, f=gl.f, kt=gl.kt, kf=gl.kf, tc=1, tp=f_rows,
+            fs=gl.fs, ls=f_rows * gl.fs)
+        return pconv.unpack_fm(x2, g_out, jnp.float32), seq_len
+
     @nn.compact
     def __call__(self, x, seq_len, training=False):
         n = len(self.out_channels)
@@ -187,6 +351,10 @@ class CNN2d(nn.Module, Configurable):
         residuals = to_list(
             self.residual_connections if self.residual_connections
             else None, n)
+        plan = self._packed_plan(x, kernels, pools, residuals)
+        if plan is not None:
+            return self._packed_forward(
+                x, seq_len, training, plan, kernels, pools)
         act = _act(self.activation_fn)
         norm_kwargs = self.norm_kwargs or {}
         pending = {}

@@ -56,9 +56,17 @@ The kernel strategy:
 
 ``conv2d_mxu`` is the drop-in (B, T, F, C) wrapper (pack -> kernel ->
 unpack); NOTE the per-call pack/unpack relayout costs more than the
-kernel saves — production use is the packed tower path in ``ops/cnn.py``
+kernel saves — production use is the packed TOWER path in ``ops/cnn.py``
 which packs once and keeps activations packed across BN/ReLU/conv
-chains. Gating follows ops/pallas/gru.py: TPU-only in production,
+chains. The tower uses the FREQ-MAJOR orientation (``fm_geom``): rows
+are freq bins, lanes are 128-aligned time — because the reference
+tower's pools are freq-only ((2, 1) in its (freq, time) notation), a
+pool is then an elementwise max of two CONTIGUOUS row slices
+(``maxpool2_rows_packed``) and the packed layout survives every pool
+boundary with no relayout. The kernels themselves are orientation
+-agnostic ((rows, lanes) blocks); freq-major simply swaps the roles of
+the ConvGeom fields and transposes the kernel's first two axes.
+Gating follows ops/pallas/gru.py: TPU-only in production,
 interpreter mode for CPU tests (ops/rnn.py:set_pallas_mode).
 """
 import functools
@@ -83,17 +91,22 @@ class ConvGeom(NamedTuple):
 
     Lane map: x4[b, t, f, c] lives at x2[b, c, t * fs + pf + f]; slots
     fp < pf and fp >= pf + f are structural zeros (the SAME-conv freq
-    halo). There are no time-halo rows; ls carries kf - 1 extra zero
-    tail lanes so interior taps of the last block stay in bounds.
+    halo). There are no halo ROWS: taps that would read before row 0 or
+    past ls are zero-filled by the patch builder's edge clamping.
+
+    The fields are named for the time-major orientation (rows = time);
+    the freq-major tower orientation (``fm_geom``) reuses the SAME
+    structure with the roles swapped (t = freq rows, f = time lanes,
+    kt/kf swapped) — the kernels only ever see (rows, lanes).
     """
-    t: int        # real time frames
-    f: int        # real freq bins
-    kt: int       # kernel time extent (odd)
-    kf: int       # kernel freq extent (odd)
-    tc: int       # time rows per block
+    t: int        # real rows (time-major: frames; freq-major: bins)
+    f: int        # real slots per row (time-major: bins; fm: frames)
+    kt: int       # kernel extent along rows (odd)
+    kf: int       # kernel extent along lanes-within-row (odd)
+    tc: int       # rows per block
     tp: int       # t padded up to a tc multiple
-    fs: int       # f + kf - 1 (lane stride per time row)
-    ls: int       # tp * fs + kf - 1 (packed buffer lanes)
+    fs: int       # lane stride per row (>= f + kf - 1; fm: 128-aligned)
+    ls: int       # tp * fs (packed buffer lanes)
 
     @property
     def pt(self):
@@ -104,11 +117,11 @@ class ConvGeom(NamedTuple):
         return (self.kf - 1) // 2
 
 
-def _with_tc(t, f, kt, kf, tc):
-    fs = f + kf - 1
+def _with_tc(t, f, kt, kf, tc, fs=None):
+    fs = f + kf - 1 if fs is None else fs
     tp = -(-t // tc) * tc
-    ls = tp * fs + kf - 1
-    return ConvGeom(t=t, f=f, kt=kt, kf=kf, tc=tc, tp=tp, fs=fs, ls=ls)
+    return ConvGeom(t=t, f=f, kt=kt, kf=kf, tc=tc, tp=tp, fs=fs,
+                    ls=tp * fs)
 
 
 def geom_for(t, f, cin, kt, kf):
@@ -147,15 +160,14 @@ def pack4(x4, geom, dtype=jnp.bfloat16):
     assert (t, f) == (g.t, g.f), ((t, f), g)
     x = jnp.pad(x4.astype(dtype),
                 ((0, 0), (0, g.tp - t), (g.pf, g.fs - f - g.pf), (0, 0)))
-    x = x.transpose(0, 3, 1, 2).reshape(b, c, g.tp * g.fs)
-    return jnp.pad(x, ((0, 0), (0, 0), (0, g.ls - g.tp * g.fs)))
+    return x.transpose(0, 3, 1, 2).reshape(b, c, g.ls)
 
 
 def unpack4(x2, geom, dtype=None):
     """Packed (B, C, Ls) -> (B, T, F, C): slice the real region."""
     g = geom
     b, c = x2.shape[:2]
-    x = x2[:, :, :g.tp * g.fs].reshape(b, c, g.tp, g.fs)
+    x = x2.reshape(b, c, g.tp, g.fs)
     x = x[:, :, :g.t, g.pf:g.pf + g.f].transpose(0, 2, 3, 1)
     return x if dtype is None else x.astype(dtype)
 
@@ -171,11 +183,16 @@ def lane_mask(geom, dtype=jnp.bfloat16):
     return m.astype(dtype)[None, None, :]
 
 
-def _col_mask(g, lb, dtype):
-    """(1, Lb) 0/1 mask of real-f columns within one block's lanes."""
+def _out_mask(g, lb, row0, dtype):
+    """(1, Lb) 0/1 mask of real output slots within one block's lanes:
+    in-row slot fp in [pf, pf+f) AND global row index (row0 is the
+    block's first row, a traced scalar) below the real row count — pad
+    rows of the last block must write zeros (+bias would otherwise leak
+    into packed consumers)."""
     j = jax.lax.broadcasted_iota(jnp.int32, (1, lb), 1)
     fp = j % g.fs
-    return ((fp >= g.pf) & (fp < g.pf + g.f)).astype(dtype)
+    row = row0 + j // g.fs
+    return ((fp >= g.pf) & (fp < g.pf + g.f) & (row < g.t)).astype(dtype)
 
 
 def _build_patch(x_ref, patch, g, cin, t0):
@@ -222,7 +239,7 @@ def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, patch, *, g, cin, cout,
     acc = jnp.dot(w_ref[:], patch[:], preferred_element_type=jnp.float32)
     if use_bias:
         acc = acc + b_ref[:]
-    acc = acc * _col_mask(g, lb, jnp.float32)
+    acc = acc * _out_mask(g, lb, ti * g.tc, jnp.float32)
     y_ref[0, :, :] = acc.astype(y_ref.dtype)
 
 
@@ -292,8 +309,8 @@ def _fwd_packed(x2, w, b, geom, interpret):
         ],
         interpret=interpret,
     )(x2.astype(jnp.bfloat16), _w2(w), b2)
-    # tail lanes (kf - 1) are structural zeros by definition
-    return jnp.pad(y, ((0, 0), (0, 0), (0, g.ls - nb * lb)))
+    assert y.shape[-1] == g.ls, (y.shape, g)
+    return y
 
 
 def _dw_packed(x2, gm2, w_shape, geom, interpret):
@@ -359,13 +376,17 @@ def _conv2d_packed_bwd(geom, interpret, res, gy):
     x2, w, no_bias = res
     # y = mask * raw: kill cotangents at structural slots (the next
     # layer's taps DO read them, so gy is nonzero there)
-    gm = (gy * lane_mask(geom, gy.dtype)).astype(jnp.bfloat16)
+    gym = gy * lane_mask(geom, gy.dtype)
+    gm = gym.astype(jnp.bfloat16)
     # dx = SAME-conv of gy with spatially flipped, channel-transposed w
     w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
     dx = _fwd_packed(gm, w_flip, None, geom, interpret).astype(x2.dtype)
-    dw, db = _dw_packed(x2, gm, w.shape, geom, interpret)
-    return dx, dw.astype(w.dtype), (None if no_bias else
-                                    db.astype(jnp.float32))
+    dw, _ = _dw_packed(x2, gm, w.shape, geom, interpret)
+    # db in f32 from the UNQUANTIZED cotangent (the kernel's bf16 sum
+    # loses ~2% on partially cancelling sums; this fuses into gym)
+    db = (None if no_bias
+          else jnp.sum(gym.astype(jnp.float32), axis=(0, 2)))
+    return dx, dw.astype(w.dtype), db
 
 
 conv2d_packed.defvjp(_conv2d_packed_fwd, _conv2d_packed_bwd)
@@ -386,3 +407,165 @@ def conv2d_mxu(x, w, b, interpret=False):
     x2 = pack4(x, geom)
     y2 = conv2d_packed(x2, w, b, geom, interpret)
     return unpack4(y2, geom)
+
+
+# ---------------------------------------------------------------------
+# Freq-major packed TOWER orientation (production path, ops/cnn.py)
+# ---------------------------------------------------------------------
+
+def fm_geom(t_frames, f_bins, kt, kf, cmax):
+    """Freq-major geometry: rows = freq bins, lanes = 128-aligned time.
+
+    ``cmax`` is max(cin, cout) of the layer — the backward dx pass runs
+    the same kernel with cin' = cout, so the block budget must cover
+    both. The row-block size is the largest divisor of f_bins that fits
+    the patch budget (divisors avoid wasted pad-row compute; the
+    flagship tower's F in {128, 64, 32, 16, 8} always lands on nb = 8
+    blocks). fs is 128-aligned so every row boundary — and therefore
+    every pool block and patch slice — is lane-tile aligned.
+    """
+    assert kt % 2 == 1 and kf % 2 == 1, (kt, kf)
+    ts = -(-(t_frames + kt - 1) // 128) * 128
+    k = kt * kf * max(cmax, 8)
+    budget = max(1, _PATCH_BUDGET_BYTES // (k * ts * 2))
+    fc = 1
+    for d in range(1, f_bins + 1):
+        if f_bins % d == 0 and d <= budget:
+            fc = d
+    # swapped roles: t=rows (freq), f=real lanes per row (time),
+    # kt=row kernel extent (the conv's FREQ extent), kf=lane extent
+    return _with_tc(f_bins, t_frames, kf, kt, fc, fs=ts)
+
+
+def fm_supported(t_frames, f_bins, kt, kf, cmax):
+    """Whether the freq-major kernels handle this layer within VMEM."""
+    if kt % 2 == 0 or kf % 2 == 0 or kt * kf <= 1:
+        return False
+    g = fm_geom(t_frames, f_bins, kt, kf, cmax)
+    patch = kt * kf * cmax * g.tc * g.fs * 2
+    return patch <= 2 * _PATCH_BUDGET_BYTES
+
+
+def pack_fm(x4, geom, dtype=jnp.bfloat16):
+    """(B, T, F, C) -> freq-major packed (B, C, Ls).
+
+    Lane map: x4[b, t, f, c] at x2[b, c, f * fs + pf + t] (geom fields
+    read in swapped roles: geom.t = F rows, geom.f = T, geom.pf = time
+    pad). In-row halo slots and pad rows are structural zeros.
+    """
+    g = geom
+    b, t, f, c = x4.shape
+    assert (f, t) == (g.t, g.f), ((t, f), g)
+    x = jnp.pad(x4.astype(dtype),
+                ((0, 0), (g.pf, g.fs - t - g.pf), (0, g.tp - f), (0, 0)))
+    return x.transpose(0, 3, 2, 1).reshape(b, c, g.ls)
+
+
+def unpack_fm(x2, geom, dtype=None):
+    """Freq-major packed (B, C, Ls) -> (B, T, F, C) real region."""
+    g = geom
+    b, c = x2.shape[:2]
+    x = x2.reshape(b, c, g.tp, g.fs)
+    x = x[:, :, :g.t, g.pf:g.pf + g.f].transpose(0, 3, 2, 1)
+    return x if dtype is None else x.astype(dtype)
+
+
+def fm_valid_mask(geom, seq_len, dtype=jnp.float32):
+    """(B, 1, Ls) mask of lanes that are real AND within seq_len —
+    the batch-norm statistics mask (matches the unpacked
+    MaskedBatchNorm, whose stats see valid frames x all freq bins)."""
+    g = geom
+    lane = jnp.arange(g.ls)
+    frame = lane % g.fs - g.pf
+    struct = (lane // g.fs < g.t) & (frame >= 0) & (frame < g.f)
+    valid = struct[None, :] & (frame[None, :] < seq_len[:, None])
+    return valid.astype(dtype)[:, None, :]
+
+
+def conv2d_packed_fm(x2, w, b, geom, interpret=False):
+    """Freq-major packed SAME conv2d.
+
+    Identical to ``conv2d_packed`` with the kernel's (time, freq) axes
+    swapped to match the row/lane roles; the transpose is differentiable
+    glue, so the custom VJP's dw maps back automatically.
+
+    Args:
+        x2: (B, Cin, Ls) freq-major packed input (``pack_fm``).
+        w: (kt, kf, Cin, Cout) float32 weights in the CONV convention
+            (kt = time extent) — transposed internally.
+        b: (Cout,) float32 bias or None.
+        geom: freq-major ConvGeom (``fm_geom``).
+    """
+    return conv2d_packed(x2, jnp.transpose(w, (1, 0, 2, 3)), b, geom,
+                         interpret)
+
+
+def _pool_fwd_kernel(x_ref, y_ref, *, rows, ts):
+    """Row-pair max: x_ref (1, C, 2*rows*ts) -> y_ref (1, C, rows*ts).
+    Structural zeros survive (max(0, 0) = 0), so the output is directly
+    a valid packed buffer at the halved freq-row count."""
+    for r in range(rows):
+        a = x_ref[0, :, 2 * r * ts:(2 * r + 1) * ts]
+        b = x_ref[0, :, (2 * r + 1) * ts:(2 * r + 2) * ts]
+        y_ref[0, :, r * ts:(r + 1) * ts] = jnp.maximum(a, b)
+
+
+def _pool_bwd_kernel(x_ref, g_ref, dx_ref, *, rows, ts):
+    """Route the cotangent to the argmax row (ties -> the first row,
+    matching XLA select-and-scatter / torch max-pool)."""
+    for r in range(rows):
+        a = x_ref[0, :, 2 * r * ts:(2 * r + 1) * ts]
+        b = x_ref[0, :, (2 * r + 1) * ts:(2 * r + 2) * ts]
+        gy = g_ref[0, :, r * ts:(r + 1) * ts]
+        zero = jnp.zeros_like(gy)
+        keep = a >= b
+        dx_ref[0, :, 2 * r * ts:(2 * r + 1) * ts] = jnp.where(
+            keep, gy, zero)
+        dx_ref[0, :, (2 * r + 1) * ts:(2 * r + 2) * ts] = jnp.where(
+            keep, zero, gy)
+
+
+def _pool_fwd(x2, f_out, ts, interpret):
+    bsz, c, ls = x2.shape
+    assert ls == 2 * f_out * ts, (x2.shape, f_out, ts)
+    kernel = functools.partial(_pool_fwd_kernel, rows=f_out, ts=ts)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[pl.BlockSpec((1, c, ls), lambda bi: (bi, 0, 0))],
+        out_specs=pl.BlockSpec((1, c, f_out * ts), lambda bi: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, c, f_out * ts), x2.dtype),
+        interpret=interpret,
+    )(x2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def maxpool2_rows_packed(x2, f_out, ts, interpret=False):
+    """(2, 1)-max-pool on the freq-major packed layout: the freq-row
+    count halves, rows stay ts lanes. x2 (B, C, 2*f_out*ts) ->
+    (B, C, f_out*ts)."""
+    return _pool_fwd(x2, f_out, ts, interpret)
+
+
+def _pool_vjp_fwd(x2, f_out, ts, interpret):
+    return _pool_fwd(x2, f_out, ts, interpret), x2
+
+
+def _pool_vjp_bwd(f_out, ts, interpret, x2, gy):
+    bsz, c, ls = x2.shape
+    kernel = functools.partial(_pool_bwd_kernel, rows=f_out, ts=ts)
+    dx = pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, c, ls), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, c, f_out * ts), lambda bi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, c, ls), lambda bi: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, c, ls), gy.dtype),
+        interpret=interpret,
+    )(x2, gy.astype(x2.dtype))
+    return (dx.astype(x2.dtype),)
+
+
+maxpool2_rows_packed.defvjp(_pool_vjp_fwd, _pool_vjp_bwd)

@@ -1,0 +1,344 @@
+"""Pallas packed-lane conv2d kernels and the freq-major packed tower.
+
+CPU runs use interpreter mode (ops/rnn.py:set_pallas_mode); on-TPU
+compile + timing runs in the ``pallas`` lane of ``bench.py`` and the
+TPU-gated test at the bottom. The reference for every comparison is the
+unpacked XLA path (bf16 NHWC conv, masked batch norm, nn.max_pool) —
+the exact code the packed tower replaces in production.
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pb_sed_tpu.ops import rnn as rnn_mod
+from pb_sed_tpu.ops.pallas import conv as pconv
+
+
+@pytest.fixture
+def interpret_mode():
+    rnn_mod.set_pallas_mode('force_interpret')
+    yield
+    rnn_mod.set_pallas_mode('auto')
+
+
+def _xla_conv(x, w, b):
+    """The unpacked bf16 conv path being replaced (ops/cnn.py)."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), (1, 1), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return y + b.astype(jnp.bfloat16)
+
+
+def _rand(rng, *shape):
+    return jnp.asarray(rng.randn(*shape).astype(np.float32))
+
+
+def test_pack_unpack_fm_roundtrip():
+    rng = np.random.RandomState(0)
+    x = _rand(rng, 2, 20, 16, 16)
+    g = pconv.fm_geom(20, 16, 3, 3, 16)
+    assert g.fs % 128 == 0 and g.tp == g.t == 16
+    x2 = pconv.pack_fm(x, g)
+    assert x2.shape == (2, 16, g.ls)
+    # structural slots are exactly zero = packed buffer * struct mask
+    struct = pconv.lane_mask(g, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(x2 * struct), np.asarray(x2))
+    back = pconv.unpack_fm(x2, g, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(back), np.asarray(x.astype(jnp.bfloat16).astype(
+            jnp.float32)))
+
+
+def test_fm_valid_mask_counts():
+    g = pconv.fm_geom(10, 8, 3, 3, 16)
+    seq_len = jnp.asarray([10, 4])
+    m = pconv.fm_valid_mask(g, seq_len)
+    assert m.shape == (2, 1, g.ls)
+    np.testing.assert_array_equal(
+        np.asarray(m.sum(axis=(1, 2))), np.asarray([80., 32.]))
+
+
+def test_conv2d_packed_fm_matches_xla(interpret_mode):
+    rng = np.random.RandomState(1)
+    x = _rand(rng, 2, 20, 16, 16)
+    w = _rand(rng, 3, 3, 16, 32) / 12.
+    b = _rand(rng, 32) * .1
+    g = pconv.fm_geom(20, 16, 3, 3, 32)
+    y2 = pconv.conv2d_packed_fm(pconv.pack_fm(x, g), w, b, g, True)
+    # the packed output must itself be structurally masked
+    struct = pconv.lane_mask(g, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(y2 * struct), np.asarray(y2))
+    g_out = g._replace()  # same geometry, new channel count
+    y = pconv.unpack_fm(y2, g_out, jnp.float32)
+    y_ref = np.asarray(_xla_conv(x, w, b), dtype=np.float32)
+    atol = 1e-4 + 1.2e-2 * float(np.max(np.abs(y_ref)))
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=atol)
+
+
+def test_conv2d_packed_fm_asymmetric_kernel(interpret_mode):
+    """kt != kf exercises the (time, freq) axis swap of the freq-major
+    orientation (a transposition bug would misroute every tap)."""
+    rng = np.random.RandomState(2)
+    x = _rand(rng, 1, 12, 8, 16)
+    w = _rand(rng, 5, 3, 16, 16) / 12.
+    b = jnp.zeros((16,))
+    g = pconv.fm_geom(12, 8, 5, 3, 16)
+    y = pconv.unpack_fm(
+        pconv.conv2d_packed_fm(pconv.pack_fm(x, g), w, b, g, True),
+        g, jnp.float32)
+    y_ref = np.asarray(_xla_conv(x, w, b), dtype=np.float32)
+    atol = 1e-4 + 1.2e-2 * float(np.max(np.abs(y_ref)))
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=atol)
+
+
+def test_conv2d_packed_fm_gradients(interpret_mode):
+    rng = np.random.RandomState(3)
+    x = _rand(rng, 2, 12, 8, 16)
+    w = _rand(rng, 3, 3, 16, 16) / 12.
+    b = _rand(rng, 16) * .1
+    g = pconv.fm_geom(12, 8, 3, 3, 16)
+    gy = _rand(rng, 2, 12, 8, 16)
+
+    def loss_packed(x, w, b):
+        y2 = pconv.conv2d_packed_fm(pconv.pack_fm(x, g), w, b, g, True)
+        return jnp.sum(pconv.unpack_fm(y2, g, jnp.float32) * gy)
+
+    def loss_ref(x, w, b):
+        return jnp.sum(_xla_conv(x, w, b).astype(jnp.float32) * gy)
+
+    grads_p = jax.grad(loss_packed, argnums=(0, 1, 2))(x, w, b)
+    grads_r = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for gp, gr in zip(grads_p, grads_r):
+        gr = np.asarray(gr, dtype=np.float32)
+        # db: the XLA reference itself sums the cotangent in bf16
+        # (visibly quantized values); the packed path's f32 db is the
+        # MORE accurate one — tolerance covers the reference's noise
+        atol = 1e-4 + 3.5e-2 * float(np.max(np.abs(gr)))
+        np.testing.assert_allclose(
+            np.asarray(gp, dtype=np.float32), gr, atol=atol)
+
+
+def test_maxpool2_rows_packed_matches_nn(interpret_mode):
+    rng = np.random.RandomState(4)
+    x = _rand(rng, 2, 12, 16, 16)
+    g = pconv.fm_geom(12, 16, 3, 3, 16)
+    x2 = pconv.pack_fm(x, g)
+    y2 = pconv.maxpool2_rows_packed(x2, 8, g.fs, True)
+    g_out = g._replace(t=8, tp=8, ls=8 * g.fs)
+    y = pconv.unpack_fm(y2, g_out, jnp.float32)
+    # reference pools freq with (2, 1) in our (B, T, F, C) layout
+    y_ref = nn.max_pool(x.astype(jnp.bfloat16), window_shape=(1, 2),
+                        strides=(1, 2))
+    np.testing.assert_array_equal(
+        np.asarray(y), np.asarray(y_ref.astype(jnp.float32)))
+
+
+def test_maxpool2_rows_packed_gradient(interpret_mode):
+    rng = np.random.RandomState(5)
+    x = _rand(rng, 1, 9, 8, 16)
+    g = pconv.fm_geom(9, 8, 3, 3, 16)
+    gy = _rand(rng, 1, 9, 4, 16)
+    g_out = g._replace(t=4, tp=4, ls=4 * g.fs)
+
+    def loss_packed(x):
+        y2 = pconv.maxpool2_rows_packed(pconv.pack_fm(x, g), 4, g.fs,
+                                        True)
+        return jnp.sum(pconv.unpack_fm(y2, g_out, jnp.float32) * gy)
+
+    def loss_ref(x):
+        y = nn.max_pool(x.astype(jnp.bfloat16), window_shape=(1, 2),
+                        strides=(1, 2))
+        return jnp.sum(y.astype(jnp.float32) * gy)
+
+    gp = jax.grad(loss_packed)(x)
+    gr = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=1e-5)
+
+
+def test_conv2d_mxu_drop_in_time_major(interpret_mode):
+    """The (B, T, F, C) drop-in wrapper (time-major orientation)."""
+    from pb_sed_tpu.ops.pallas.conv import conv2d_mxu
+    rng = np.random.RandomState(6)
+    x = _rand(rng, 2, 18, 10, 16)
+    w = _rand(rng, 3, 3, 16, 16) / 12.
+    b = _rand(rng, 16) * .1
+    y = conv2d_mxu(x, w, b, True)
+    y_ref = np.asarray(_xla_conv(x, w, b).astype(jnp.float32))
+    atol = 1e-4 + 1.2e-2 * float(np.max(np.abs(y_ref)))
+    np.testing.assert_allclose(
+        np.asarray(y.astype(jnp.float32)), y_ref, atol=atol)
+
+
+def _mini_tower(use_pallas, pre_activation=True, output_layer=False,
+                residuals=None, dropout=0., pools=None):
+    from pb_sed_tpu.ops.cnn import CNN2d
+    return CNN2d(
+        out_channels=[16, 16, 32, 32],
+        kernel_size=3,
+        pool_size=pools if pools is not None else [1, [2, 1], 1, [2, 1]],
+        residual_connections=residuals,
+        norm='batch', norm_kwargs={'eps': 1e-3},
+        activation_fn='relu', pre_activation=pre_activation,
+        dropout=dropout, output_layer=output_layer,
+        use_pallas=use_pallas)
+
+
+def _tower_data(seed=7, b=2, t=20, f=16, c=1):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(b, t, f, c).astype(np.float32))
+    seq_len = jnp.asarray([t, t - 6][:b])
+    return x, seq_len
+
+
+@pytest.mark.parametrize('pre_activation', [True, False])
+def test_cnn2d_packed_tower_parity(interpret_mode, pre_activation):
+    """The packed tower (pack once, packed BN/act/conv/pool chain)
+    must match the unpacked XLA tower: outputs, gradients, and batch
+    statistics — with the SAME parameter tree."""
+    x, seq_len = _tower_data()
+    ref = _mini_tower(False, pre_activation)
+    packed = _mini_tower(True, pre_activation)
+    variables = ref.init(jax.random.PRNGKey(0), x, seq_len,
+                         training=True)
+    # the plan must actually select the packed path: layer 0 (cin=1)
+    # stays unpacked, layers 1..3 pack
+    plan = packed._packed_plan(
+        x, [3] * 4, [1, [2, 1], 1, [2, 1]], [None] * 4)
+    assert plan is not None and plan[0] == 1
+
+    (y_ref, sl_ref), stats_ref = ref.apply(
+        variables, x, seq_len, training=True, mutable=['batch_stats'])
+    (y_p, sl_p), stats_p = packed.apply(
+        variables, x, seq_len, training=True, mutable=['batch_stats'])
+    assert int(sl_p[0]) == int(sl_ref[0])
+    atol = 1e-4 + 2e-2 * float(np.max(np.abs(np.asarray(y_ref))))
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                               atol=atol)
+    ref_stats = jax.tree_util.tree_leaves(stats_ref)
+    p_stats = jax.tree_util.tree_leaves(stats_p)
+    for a, b_ in zip(p_stats, ref_stats):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=5e-2)
+    # eval mode (running stats path)
+    merged = {'params': variables['params'], **stats_ref}
+    y_ref_e, _ = ref.apply(merged, x, seq_len, training=False)
+    y_p_e, _ = packed.apply(merged, x, seq_len, training=False)
+    atol = 1e-4 + 2e-2 * float(np.max(np.abs(np.asarray(y_ref_e))))
+    np.testing.assert_allclose(np.asarray(y_p_e), np.asarray(y_ref_e),
+                               atol=atol)
+
+
+def test_cnn2d_packed_tower_gradients(interpret_mode):
+    """Pool-free tower: max pools pick SUBGRADIENTS at bf16 near-ties,
+    and the packed conv's different (correct) f32 accumulation order
+    flips an occasional argmax vs the XLA path — routing O(100)
+    cotangents to the other freq bin. Pool gradient routing itself is
+    pinned exactly by test_maxpool2_rows_packed_gradient; here the
+    BN/act/mask/conv chain is compared tie-free."""
+    x, seq_len = _tower_data(seed=8)
+    ref = _mini_tower(False, pools=[1] * 4)
+    packed = _mini_tower(True, pools=[1] * 4)
+    variables = ref.init(jax.random.PRNGKey(1), x, seq_len,
+                         training=True)
+
+    def loss(model, params):
+        (y, _), _ = model.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            x, seq_len, training=True, mutable=['batch_stats'])
+        return jnp.sum(jnp.square(y))
+
+    g_ref = jax.grad(lambda p: loss(ref, p))(variables['params'])
+    g_p = jax.grad(lambda p: loss(packed, p))(variables['params'])
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_p = jax.tree_util.tree_leaves(g_p)
+    # bf16 noise floor is set by the LARGE gradients flowing through a
+    # leaf's layer, not the leaf's own magnitude: a conv bias followed
+    # by batch norm has a near-cancelling gradient (BN is invariant to
+    # input shifts over its stats mask — only padded frames survive),
+    # so its |grad| is ~1000x below the kernel's while its absolute
+    # noise is the same scale. Tolerance = 3% per leaf + global floor.
+    # Conv BIAS gradients: a conv followed by batch norm has an
+    # EXACTLY cancelling bias gradient (BN output is invariant to a
+    # constant input shift — the masked mean absorbs it at valid AND
+    # padded positions), so the true db ~= 0. The packed path's f32 db
+    # lands there; the CPU XLA reference's does NOT — its bf16 serial
+    # reduction of the cancelling cotangent random-walks to +-50 —
+    # so for those leaves the REFERENCE is the noisy one and the
+    # packed value is checked against the analytic zero instead.
+    params = variables['params']
+    n_last = max(int(k.split('_')[1]) for k in params if
+                 k.startswith('conv_'))
+    gmax = max(float(np.max(np.abs(np.asarray(g, np.float32))))
+               for _, g in flat_r)
+    for (path, gr), gp in zip(flat_r, flat_p):
+        gr = np.asarray(gr, dtype=np.float32)
+        gp = np.asarray(gp, dtype=np.float32)
+        layer = str(path[0].key)
+        leaf = str(path[1].key)
+        if leaf == 'bias' and layer.startswith('conv_') \
+                and layer != f'conv_{n_last}':
+            if layer == 'conv_0':
+                # prefix layer: BOTH paths compute this bias grad via
+                # XLA's bf16 reduction (different orders) — two noise
+                # samples of the analytic zero; nothing to compare
+                continue
+            wmax = float(np.max(np.abs(np.asarray(
+                g_p[layer]['kernel'], np.float32))))
+            assert float(np.max(np.abs(gp))) < 1e-2 * wmax + 1e-3, path
+            continue
+        # 8%: the reference re-quantizes the cotangent to bf16 at every
+        # chained conv VJP in a different accumulation order
+        atol = 1e-3 + 8e-2 * float(np.max(np.abs(gr))) + 2e-3 * gmax
+        np.testing.assert_allclose(gp, gr, atol=atol, err_msg=str(path))
+
+
+def test_packed_plan_gating(interpret_mode):
+    """Residuals / dropout / time pools / non-batch norm fall back to
+    the unpacked path; 'auto' mode on CPU never packs."""
+    x, seq_len = _tower_data(seed=9)
+    kernels, pools = [3] * 4, [1, [2, 1], 1, [2, 1]]
+    assert _mini_tower(True)._packed_plan(
+        x, kernels, pools, [None] * 4) is not None
+    assert _mini_tower(True, residuals=[None, 3, None, None]
+                       )._packed_plan(
+        x, kernels, pools, [None, 3, None, None]) is None
+    assert _mini_tower(True, dropout=.5)._packed_plan(
+        x, kernels, pools, [None] * 4) is None
+    # a mid-tower TIME pool defers packing to the suffix after it...
+    plan = _mini_tower(True)._packed_plan(
+        x, kernels, [1, [2, 2], 1, 1], [None] * 4)
+    assert plan is not None and plan[0] == 2
+    # ...and a trailing one (no packable suffix) falls back entirely
+    assert _mini_tower(True)._packed_plan(
+        x, kernels, [1, 1, 1, [2, 2]], [None] * 4) is None
+    # 'auto' on CPU: bit-exact fallback (kernels would drift in bf16)
+    rnn_mod.set_pallas_mode('auto')
+    ref = _mini_tower(False)
+    variables = ref.init(jax.random.PRNGKey(2), x, seq_len,
+                         training=True)
+    (y_ref, _), _ = ref.apply(variables, x, seq_len, training=True,
+                              mutable=['batch_stats'])
+    (y_auto, _), _ = _mini_tower(True).apply(
+        variables, x, seq_len, training=True, mutable=['batch_stats'])
+    np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y_ref))
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='needs a real TPU (run via bench.py)')
+def test_conv_packed_native_tpu():
+    """Non-interpret compile + parity of the packed tower on the chip."""
+    x, seq_len = _tower_data(seed=10, b=2, t=40, f=32)
+    ref = _mini_tower(False)
+    packed = _mini_tower(True)
+    variables = ref.init(jax.random.PRNGKey(3), x, seq_len,
+                         training=True)
+    (y_ref, _), _ = ref.apply(variables, x, seq_len, training=True,
+                              mutable=['batch_stats'])
+    (y_p, _), _ = packed.apply(variables, x, seq_len, training=True,
+                               mutable=['batch_stats'])
+    atol = 1e-4 + 2e-2 * float(np.max(np.abs(np.asarray(y_ref))))
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                               atol=atol)
