@@ -210,9 +210,10 @@ def _build_patch(x_ref, patch, g, cin, t0):
             hi = min(off + lb, g.ls)
             if lo == off and hi == off + lb:
                 patch[rows, :] = x_ref[0, :, off:off + lb]
-            else:  # first/last block edge taps
-                head = lo - off
-                n = hi - lo
+            else:  # first/last block edge taps; a whole tap block can
+                # be out of range when tc < kt - 1 (hi <= lo) -> zeros
+                head = min(max(lo - off, 0), lb)
+                n = max(hi - lo, 0)
                 if head:
                     patch[rows, :head] = jnp.zeros(
                         (cin, head), patch.dtype)
@@ -503,26 +504,32 @@ def conv2d_packed_fm(x2, w, b, geom, interpret=False):
 def _pool_fwd_kernel(x_ref, y_ref, *, rows, ts):
     """Row-pair max: x_ref (1, C, 2*rows*ts) -> y_ref (1, C, rows*ts).
     Structural zeros survive (max(0, 0) = 0), so the output is directly
-    a valid packed buffer at the halved freq-row count."""
+    a valid packed buffer at the halved freq-row count. Compare in f32:
+    Mosaic cannot lower elementwise cmpf on packed bf16 vectors
+    ("Target does not support this comparison" on v5e)."""
     for r in range(rows):
-        a = x_ref[0, :, 2 * r * ts:(2 * r + 1) * ts]
-        b = x_ref[0, :, (2 * r + 1) * ts:(2 * r + 2) * ts]
-        y_ref[0, :, r * ts:(r + 1) * ts] = jnp.maximum(a, b)
+        a = x_ref[0, :, 2 * r * ts:(2 * r + 1) * ts].astype(jnp.float32)
+        b = x_ref[0, :, (2 * r + 1) * ts:(2 * r + 2) * ts].astype(
+            jnp.float32)
+        y_ref[0, :, r * ts:(r + 1) * ts] = jnp.maximum(a, b).astype(
+            y_ref.dtype)
 
 
 def _pool_bwd_kernel(x_ref, g_ref, dx_ref, *, rows, ts):
     """Route the cotangent to the argmax row (ties -> the first row,
-    matching XLA select-and-scatter / torch max-pool)."""
+    matching XLA select-and-scatter / torch max-pool). f32 compare:
+    see _pool_fwd_kernel."""
     for r in range(rows):
-        a = x_ref[0, :, 2 * r * ts:(2 * r + 1) * ts]
-        b = x_ref[0, :, (2 * r + 1) * ts:(2 * r + 2) * ts]
-        gy = g_ref[0, :, r * ts:(r + 1) * ts]
+        a = x_ref[0, :, 2 * r * ts:(2 * r + 1) * ts].astype(jnp.float32)
+        b = x_ref[0, :, (2 * r + 1) * ts:(2 * r + 2) * ts].astype(
+            jnp.float32)
+        gy = g_ref[0, :, r * ts:(r + 1) * ts].astype(jnp.float32)
         zero = jnp.zeros_like(gy)
         keep = a >= b
         dx_ref[0, :, 2 * r * ts:(2 * r + 1) * ts] = jnp.where(
-            keep, gy, zero)
+            keep, gy, zero).astype(dx_ref.dtype)
         dx_ref[0, :, (2 * r + 1) * ts:(2 * r + 2) * ts] = jnp.where(
-            keep, zero, gy)
+            keep, zero, gy).astype(dx_ref.dtype)
 
 
 def _pool_fwd(x2, f_out, ts, interpret):

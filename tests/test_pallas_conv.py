@@ -94,6 +94,24 @@ def test_conv2d_packed_fm_asymmetric_kernel(interpret_mode):
     np.testing.assert_allclose(np.asarray(y), y_ref, atol=atol)
 
 
+def test_conv2d_packed_fm_single_row_blocks(interpret_mode):
+    """tc=1 (the flagship L8 geometry): a whole tap row of the first /
+    last block lies OUT of range — regression for the edge zero-fill
+    computing head > lb / negative n there."""
+    rng = np.random.RandomState(11)
+    x = _rand(rng, 1, 10, 8, 16)
+    w = _rand(rng, 3, 3, 16, 16) / 12.
+    b = _rand(rng, 16) * .1
+    base = pconv.fm_geom(10, 8, 3, 3, 16)
+    g = base._replace(tc=1)
+    y = pconv.unpack_fm(
+        pconv.conv2d_packed_fm(pconv.pack_fm(x, g), w, b, g, True),
+        g, jnp.float32)
+    y_ref = np.asarray(_xla_conv(x, w, b), dtype=np.float32)
+    atol = 1e-4 + 1.2e-2 * float(np.max(np.abs(y_ref)))
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=atol)
+
+
 def test_conv2d_packed_fm_gradients(interpret_mode):
     rng = np.random.RandomState(3)
     x = _rand(rng, 2, 12, 8, 16)
