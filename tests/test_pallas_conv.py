@@ -344,6 +344,70 @@ def test_packed_plan_gating(interpret_mode):
     np.testing.assert_array_equal(np.asarray(y_auto), np.asarray(y_ref))
 
 
+def test_fbcrnn_packed_tower_wiring(interpret_mode):
+    """The flagship config path: ``net_configs.cnn_config`` ships
+    ``use_pallas=True`` for cnn_2d, so the FULL weak-label CRNN forward
+    must route a qualifying tower through the packed plan and match the
+    unpacked build with the SAME variables (checkpoint compatibility)."""
+    from pb_sed_tpu.models import weak_label
+
+    def build(use_pallas):
+        return weak_label.CRNN.from_config(weak_label.CRNN.get_config({
+            'feature_extractor': {
+                'sample_rate': 16000, 'stft_size': 512,
+                'number_of_filters': 16,
+            },
+            'cnn': {
+                'cnn_2d': {
+                    'out_channels': [16, 16, 16],
+                    'kernel_size': 3,
+                    'pool_size': [1, [2, 1], [2, 1]],
+                    'norm': 'batch', 'norm_kwargs': {'eps': 1e-3},
+                    'pre_activation': True,
+                    'use_pallas': use_pallas,
+                },
+                'cnn_1d': {'out_channels': [16], 'kernel_size': 3,
+                           'norm': 'batch', 'pre_activation': True},
+            },
+            'rnn_fwd': {
+                'rnn': {'hidden_size': 16, 'num_layers': 1},
+                'output_net': {'out_channels': [16, 10],
+                               'kernel_size': 1},
+            },
+        }))
+
+    ref = build(False)
+    packed = build(True)
+    from pb_sed_tpu.ops.cnn import CNN2d
+    rng = np.random.RandomState(12)
+    batch = {
+        'stft': np.abs(rng.randn(2, 24, 257, 2)).astype(np.float32),
+        'seq_len': np.array([24, 18], np.int32),
+        'weak_targets': np.zeros((2, 10), np.float32),
+        'boundary_targets': np.zeros((2, 10, 24), np.float32),
+    }
+    ref.init_variables(batch, seed=0)
+    y_ref, y_bwd_ref, sl_ref, *_ = ref.module.apply(
+        ref.variables, batch, training=False)
+    y_p, y_bwd_p, sl_p, *_ = packed.module.apply(
+        ref.variables, batch, training=False)
+    assert np.array_equal(np.asarray(sl_p), np.asarray(sl_ref))
+    for a, b in ((y_p, y_ref), (y_bwd_p, y_bwd_ref)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        atol = 1e-4 + 3e-2 * float(np.max(np.abs(b)))
+        np.testing.assert_allclose(a, b, atol=atol)
+    # and it was genuinely the packed path, not the fallback: the plan
+    # for the post-extractor geometry must select a packed suffix
+    x = jnp.zeros((2, 24, 16, 1))
+    plan = CNN2d(
+        out_channels=[16, 16, 16], kernel_size=3,
+        pool_size=[1, [2, 1], [2, 1]], residual_connections=None,
+        norm='batch', norm_kwargs={'eps': 1e-3}, pre_activation=True,
+        use_pallas=True)._packed_plan(
+            x, [3] * 3, [1, [2, 1], [2, 1]], [None] * 3)
+    assert plan is not None and plan[0] == 1
+
+
 @pytest.mark.skipif(jax.default_backend() != 'tpu',
                     reason='needs a real TPU (run via bench.py)')
 def test_conv_packed_native_tpu():
