@@ -41,6 +41,10 @@ class Conv2dMXU(nn.Module):
     kernel_size: tuple
     compute_dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    param_cin: int = None   # real Cin when the packed input is
+    #                         channel-padded (entry layer, see
+    #                         CNN2d._packed_forward) — keeps the param
+    #                         tree checkpoint-compatible
 
     @nn.compact
     def __call__(self, x, packed=None):
@@ -49,6 +53,8 @@ class Conv2dMXU(nn.Module):
         Pallas packed kernel (no relayout; see CNN2d._packed_forward)."""
         kt, kf = self.kernel_size
         cin = x.shape[1] if packed is not None else x.shape[-1]
+        if self.param_cin is not None:
+            cin = self.param_cin
         kernel = self.param(
             'kernel', nn.initializers.lecun_normal(),
             (kt, kf, cin, self.features))
@@ -58,7 +64,15 @@ class Conv2dMXU(nn.Module):
             from pb_sed_tpu.ops.pallas.conv import conv2d_packed_fm
             from pb_sed_tpu.ops.rnn import _pallas_enabled
             _, interpret = _pallas_enabled()
-            return conv2d_packed_fm(x, kernel, bias, packed, interpret)
+            w = kernel
+            if packed is not None and x.shape[1] > cin:
+                # zero-padded input channels contribute exactly zero;
+                # autodiff slices dw back to the real channels via the
+                # pad transpose
+                w = jnp.pad(
+                    kernel, ((0, 0), (0, 0), (0, x.shape[1] - cin),
+                             (0, 0)))
+            return conv2d_packed_fm(x, w, bias, packed, interpret)
         if self.use_pallas and kt % 2 == 1 and kf % 2 == 1 \
                 and kt * kf > 1:
             from pb_sed_tpu.ops.pallas.conv import conv2d_mxu, pltpu
@@ -222,11 +236,15 @@ class CNN2d(nn.Module, Configurable):
     input_height: int = None     # informational
 
     def _packed_plan(self, x, kernels, pools, residuals):
-        """Freq-major packed-tower plan: (pack_at, {i: geom}, interpret)
-        or None when the configuration or backend requires the unpacked
-        XLA path. Supported from the pack layer on: batch norm, dropout
-        0, no residuals, odd >1x1 kernels, 16-multiple channels,
-        freq-only pools in {1, 2} and a shared lane stride."""
+        """Freq-major packed-tower plan: (pack_at, {i: geom}, interpret,
+        entry_pad) or None when the configuration or backend requires
+        the unpacked XLA path. Supported from the pack layer on: batch
+        norm, dropout 0, no residuals, odd >1x1 kernels, 16-multiple
+        channels, freq-only pools in {1, 2} and a shared lane stride.
+        The ENTRY layer may additionally have Cin < 16 (the cin=1
+        feature lift): its input is zero-padded to 16 channels AFTER
+        packing (entry_pad), which keeps the big relayout on the tiny
+        pre-lift buffer."""
         if not self.use_pallas or x.ndim != 4:
             return None
         if self.norm != 'batch' or self.dropout > 0:
@@ -243,43 +261,56 @@ class CNN2d(nn.Module, Configurable):
         pack_at = None
         geoms = {}
         ts = None
+        entry_pad = False
         for i in range(n):
             k = kernels[i]
             kt, kf = (k, k) if not isinstance(k, (tuple, list)) else k
             pf_, pt_ = _pool_fp_tp(pools[i])
             cout = self.out_channels[i]
+            pad_here = pack_at is None and 0 < cin < 16
+            cin_eff = 16 if pad_here else cin
             ok = (
                 kt % 2 == 1 and kf % 2 == 1 and kt * kf > 1
-                and cin % 16 == 0 and cout % 16 == 0
+                and cin_eff % 16 == 0 and cout % 16 == 0
                 and pt_ == 1 and pf_ in (1, 2)
                 and (pf_ == 1 or f % 2 == 0)
-                and pconv.fm_supported(t, f, kt, kf, max(cin, cout))
+                and pconv.fm_supported(t, f, kt, kf, max(cin_eff, cout))
             )
             if ok:
-                g = pconv.fm_geom(t, f, kt, kf, max(cin, cout))
+                g = pconv.fm_geom(t, f, kt, kf, max(cin_eff, cout))
                 ok = ts is None or g.fs == ts
             if ok:
                 if pack_at is None:
                     pack_at = i
                     ts = g.fs
+                    entry_pad = pad_here
                 geoms[i] = g
-            elif pack_at is not None:
-                return None  # only a fully packed SUFFIX is supported
+            else:
+                # only a fully packed SUFFIX is supported (one
+                # pack/unpack boundary): a violation restarts the scan
+                # so the plan keeps the LAST contiguous packable run
+                pack_at, ts, entry_pad, geoms = None, None, False, {}
             cin = cout
             f = -(-f // pf_)
             t = -(-t // pt_)
         if pack_at is None or n - pack_at < 2:
             return None
-        return pack_at, geoms, interpret
+        return pack_at, geoms, interpret, entry_pad
 
     def _packed_forward(self, x, seq_len, training, plan, kernels,
                         pools):
         """Freq-major packed tower: pack once after the unpacked prefix,
         run BN -> act -> conv -> pool on the packed (B, C, Ls) layout
         (re-masking structural slots after every affine shift), unpack
-        once. Param/variable tree is identical to the unpacked path."""
+        once. Param/variable tree is identical to the unpacked path.
+
+        The entry layer's BN/act run unpacked when its input is
+        channel-padded (entry_pad: BN's param size is the REAL channel
+        count, which a packed-BN would mis-size), and the pack relayout
+        runs on the pre-pad buffer (16x smaller at cin=1) with the zero
+        channels appended afterwards."""
         from pb_sed_tpu.ops.pallas import conv as pconv
-        pack_at, geoms, interpret = plan
+        pack_at, geoms, interpret, entry_pad = plan
         act = _act(self.activation_fn)
         norm_kwargs = self.norm_kwargs or {}
         n = len(self.out_channels)
@@ -296,7 +327,10 @@ class CNN2d(nn.Module, Configurable):
                           name=f'conv_{i}',
                           compute_dtype=_dtype(self.compute_dtype),
                           use_pallas=False)(h)
-            h = h.astype(jnp.float32)
+            if not (self.pre_activation and i == pack_at - 1):
+                # the pack consumes bf16 — skip the f32 relayout when
+                # nothing float32 (BN/residual) reads the conv output
+                h = h.astype(jnp.float32)
             if not self.pre_activation and not is_output:
                 h = MaskedBatchNorm(**norm_kwargs, name=f'norm_{i}')(
                     h, seq_len, training)
@@ -307,7 +341,17 @@ class CNN2d(nn.Module, Configurable):
                 seq_len = -(-seq_len // pt_)
             x = h
         g = geoms[pack_at]
+        cin_entry = x.shape[-1]
+        if entry_pad and self.pre_activation:
+            # entry BN/act on the thin unpacked input (param size = the
+            # real channel count; the buffer is 16x smaller than the
+            # packed one it feeds)
+            h = MaskedBatchNorm(**norm_kwargs, name=f'norm_{pack_at}')(
+                x, seq_len, training)
+            x = act(h)
         x2 = pconv.pack_fm(x, g)
+        if entry_pad:
+            x2 = jnp.pad(x2, ((0, 0), (0, 16 - cin_entry), (0, 0)))
         f_rows = g.t
         for i in range(pack_at, n):
             g = geoms[i]
@@ -316,7 +360,8 @@ class CNN2d(nn.Module, Configurable):
             if not is_output:
                 struct = pconv.lane_mask(g, jnp.float32)
                 valid = pconv.fm_valid_mask(g, seq_len)
-            if self.pre_activation and not is_output:
+            if self.pre_activation and not is_output \
+                    and not (entry_pad and i == pack_at):
                 h = MaskedBatchNorm(**norm_kwargs, name=f'norm_{i}')(
                     x2, seq_len, training, packed_mask=valid)
                 x2 = (act(h) * struct).astype(jnp.bfloat16)
@@ -325,7 +370,10 @@ class CNN2d(nn.Module, Configurable):
             x2 = Conv2dMXU(self.out_channels[i], kernel_size=(kt, kf),
                            name=f'conv_{i}',
                            compute_dtype=_dtype(self.compute_dtype),
-                           use_pallas=True)(x2, packed=g)
+                           use_pallas=True,
+                           param_cin=(cin_entry if entry_pad
+                                      and i == pack_at else None)
+                           )(x2, packed=g)
             if not self.pre_activation and not is_output:
                 h = MaskedBatchNorm(**norm_kwargs, name=f'norm_{i}')(
                     x2, seq_len, training, packed_mask=valid)

@@ -222,10 +222,10 @@ def test_cnn2d_packed_tower_parity(interpret_mode, pre_activation):
     variables = ref.init(jax.random.PRNGKey(0), x, seq_len,
                          training=True)
     # the plan must actually select the packed path: layer 0 (cin=1)
-    # stays unpacked, layers 1..3 pack
+    # packs via the channel-padded ENTRY (entry_pad)
     plan = packed._packed_plan(
         x, [3] * 4, [1, [2, 1], 1, [2, 1]], [None] * 4)
-    assert plan is not None and plan[0] == 1
+    assert plan is not None and plan[0] == 0 and plan[3] is True
 
     (y_ref, sl_ref), stats_ref = ref.apply(
         variables, x, seq_len, training=True, mutable=['batch_stats'])
@@ -397,7 +397,8 @@ def test_fbcrnn_packed_tower_wiring(interpret_mode):
         atol = 1e-4 + 3e-2 * float(np.max(np.abs(b)))
         np.testing.assert_allclose(a, b, atol=atol)
     # and it was genuinely the packed path, not the fallback: the plan
-    # for the post-extractor geometry must select a packed suffix
+    # for the post-extractor geometry must select a packed suffix —
+    # from layer 0 via the channel-padded entry
     x = jnp.zeros((2, 24, 16, 1))
     plan = CNN2d(
         out_channels=[16, 16, 16], kernel_size=3,
@@ -405,7 +406,7 @@ def test_fbcrnn_packed_tower_wiring(interpret_mode):
         norm='batch', norm_kwargs={'eps': 1e-3}, pre_activation=True,
         use_pallas=True)._packed_plan(
             x, [3] * 3, [1, [2, 1], [2, 1]], [None] * 3)
-    assert plan is not None and plan[0] == 1
+    assert plan is not None and plan[0] == 0 and plan[3] is True
 
 
 @pytest.mark.skipif(jax.default_backend() != 'tpu',
