@@ -127,9 +127,23 @@ def _bwd_blocks(d, h, b):
     return min(16, b), 8
 
 
+def _to_tm(xw):
+    """(D, B, T, 3H) any-dtype -> (D, T, B, 3H) bf16 — the layout BOTH
+    kernels stream (hoisted so forward input and backward residual are
+    ONE array; the values are bf16-matmul outputs upstream anyway)."""
+    return jnp.swapaxes(xw, 1, 2).astype(jnp.bfloat16)
+
+
 def _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=False,
                      block_b=None, block_t=None):
-    d, b, t, three_h = xw.shape
+    return _gru_scan_pallas_tm(_to_tm(xw), w_hh, b_hh, h0,
+                               interpret=interpret, block_b=block_b,
+                               block_t=block_t)
+
+
+def _gru_scan_pallas_tm(xw_tm, w_hh, b_hh, h0, interpret=False,
+                        block_b=None, block_t=None):
+    d, t, b, three_h = xw_tm.shape
     h = three_h // 3
     auto_b, auto_t = _fwd_blocks(d, h, b)
     block_b = auto_b if block_b is None else min(block_b, b)
@@ -140,7 +154,7 @@ def _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=False,
     # caller masks sequence ends anyway
     t_pad = (-t) % block_t
     if t_pad:
-        xw = jnp.pad(xw, ((0, 0), (0, 0), (0, t_pad), (0, 0)))
+        xw_tm = jnp.pad(xw_tm, ((0, 0), (0, t_pad), (0, 0), (0, 0)))
     tt = t + t_pad
     grid = (pl.cdiv(b, block_b), tt // block_t)
     kernel = functools.partial(
@@ -169,7 +183,7 @@ def _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=False,
         out_shape=jax.ShapeDtypeStruct((d, b, tt, h), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(jnp.swapaxes(xw, 1, 2).astype(jnp.bfloat16),
+    )(xw_tm,
       w_cat.astype(jnp.bfloat16),
       b_hh.reshape(d, 1, three_h).astype(jnp.float32),
       h0.astype(jnp.float32))
@@ -205,9 +219,14 @@ def _gru_bwd_kernel(xw_ref, hprev_ref, w_hh_ref, b_hh_ref, g_ref,
     def body(k, carry):
         dh, dw_acc, db_acc = carry
         t = t_block - 1 - k  # local reverse sweep
-        h_prev = hprev_ref[0, :, t, :]
-        xw_t = xw_ref[0, :, t, :]
-        hw = jnp.dot(h_prev.astype(jnp.bfloat16), w_hh_c,
+        # xw / h_prev stream bf16 in the forward kernel's (D, T, B, *)
+        # layout: the residual is the SAME array the forward consumed
+        # (no second f32 copy), and the recomputed gates match the
+        # forward's bf16 inputs exactly
+        h_prev_c = hprev_ref[0, t, :, :]      # (B, H) bf16
+        h_prev = h_prev_c.astype(jnp.float32)
+        xw_t = xw_ref[0, t, :, :].astype(jnp.float32)
+        hw = jnp.dot(h_prev_c, w_hh_c,
                      preferred_element_type=jnp.float32) + b_hh
         xr = xw_t[:, :hidden]
         xz = xw_t[:, hidden:2 * hidden]
@@ -232,7 +251,7 @@ def _gru_bwd_kernel(xw_ref, hprev_ref, w_hh_ref, b_hh_ref, g_ref,
         dh_new = dh_total * z + jnp.dot(
             dgates_c, w_hh_c.T, preferred_element_type=jnp.float32)
         dw_acc = dw_acc + jnp.dot(
-            h_prev.astype(jnp.bfloat16).T, dgates_c,
+            h_prev_c.T, dgates_c,
             preferred_element_type=jnp.float32)
         db_acc = db_acc + jnp.sum(dgates_h, axis=0, keepdims=True)
         return dh_new, dw_acc, db_acc
@@ -250,22 +269,31 @@ def _gru_bwd_kernel(xw_ref, hprev_ref, w_hh_ref, b_hh_ref, g_ref,
         dh0_ref[0] = dh_scratch[:]
 
 
-def _gru_scan_pallas_bwd(xw, w_hh, b_hh, h0, y, g, interpret=False,
+def _gru_scan_pallas_bwd(xw_tm, w_hh, b_hh, h0, y, g, interpret=False,
                          block_b=None, block_t=None):
     """Backward pass as one Pallas kernel launch.
 
-    Returns (dxw, dw_hh, db_hh, dh0) for cotangent ``g`` w.r.t. the
-    forward outputs ``y``. Default block_t adapts to d*h
-    (:func:`_bwd_block_t`): 16 at flagship size (32 overflowed scoped
-    VMEM by 1.63 MB on v5e), halving as the hidden size grows.
+    ``xw_tm`` is the forward kernel's OWN (D, T, B, 3H) bf16 input — the
+    residual costs no extra copy and the recomputed gates see exactly
+    the values the forward used. Returns (dxw, dw_hh, db_hh, dh0) for
+    cotangent ``g`` w.r.t. the forward outputs ``y`` (dxw in the
+    caller's (D, B, T, 3H) f32 convention). Default block_t adapts to
+    d*h (:func:`_bwd_blocks`): 16 at flagship size (32 overflowed
+    scoped VMEM by 1.63 MB on v5e with f32 slabs), halving as the
+    hidden size grows.
     """
-    d, b, t, three_h = xw.shape
+    d, t, b, three_h = xw_tm.shape
     h = three_h // 3
     auto_b, auto_t = _bwd_blocks(d, h, b)
     block_b = auto_b if block_b is None else min(block_b, b)
     block_t = auto_t if block_t is None else block_t
     block_t = min(block_t, t)
-    h_prev = jnp.concatenate([h0[:, :, None, :], y[:, :, :-1, :]], axis=2)
+    # h_prev in the same T-major bf16 layout (one 2-byte copy instead
+    # of the old f32 concat + re-read)
+    h_prev = jnp.concatenate(
+        [h0[:, None, :, :],
+         jnp.swapaxes(y, 1, 2)[:, :-1, :, :]], axis=1
+    ).astype(jnp.bfloat16)
     t_pad = (-t) % block_t
     # batch must ALSO pad to the block: the dw_hh/db_hh accumulation
     # matmuls mix every row of a block, so out-of-bounds rows of a
@@ -273,10 +301,10 @@ def _gru_scan_pallas_bwd(xw, w_hh, b_hh, h0, y, g, interpret=False,
     # contribute zero)
     b_pad = (-b) % block_b
     if t_pad or b_pad:
-        pad = ((0, 0), (0, b_pad), (0, t_pad), (0, 0))
-        xw = jnp.pad(xw, pad)
-        h_prev = jnp.pad(h_prev, pad)
-        g = jnp.pad(g, pad)
+        pad_tm = ((0, 0), (0, t_pad), (0, b_pad), (0, 0))
+        xw_tm = jnp.pad(xw_tm, pad_tm)
+        h_prev = jnp.pad(h_prev, pad_tm)
+        g = jnp.pad(g, ((0, 0), (0, b_pad), (0, t_pad), (0, 0)))
     tt = t + t_pad
     bb = b + b_pad
     nt = tt // block_t
@@ -285,9 +313,10 @@ def _gru_scan_pallas_bwd(xw, w_hh, b_hh, h0, y, g, interpret=False,
         _gru_bwd_kernel, t_block=block_t, hidden=h)
     # time blocks are visited in REVERSE (the recurrence runs backward)
     rev = lambda di, bi, ti: (di, bi, nt - 1 - ti, 0)
+    rev_tm = lambda di, bi, ti: (di, nt - 1 - ti, bi, 0)
     in_specs = [
-        pl.BlockSpec((1, block_b, block_t, three_h), rev),        # xw
-        pl.BlockSpec((1, block_b, block_t, h), rev),              # h_prev
+        pl.BlockSpec((1, block_t, block_b, three_h), rev_tm),     # xw
+        pl.BlockSpec((1, block_t, block_b, h), rev_tm),           # h_prev
         pl.BlockSpec((1, h, three_h), lambda di, bi, ti: (di, 0, 0)),
         pl.BlockSpec((1, 1, three_h), lambda di, bi, ti: (di, 0, 0)),
         pl.BlockSpec((1, block_b, block_t, h), rev),              # g
@@ -313,7 +342,7 @@ def _gru_scan_pallas_bwd(xw, w_hh, b_hh, h0, y, g, interpret=False,
         ],
         scratch_shapes=[pltpu.VMEM((block_b, h), jnp.float32)],
         interpret=interpret,
-    )(xw.astype(jnp.float32), h_prev.astype(jnp.float32),
+    )(xw_tm, h_prev,
       w_hh.astype(jnp.bfloat16),
       b_hh.reshape(d, 1, three_h).astype(jnp.float32),
       g.astype(jnp.float32))
@@ -372,16 +401,18 @@ def gru_scan(xw, w_hh, b_hh, h0, interpret=False):
 
 
 def _gru_scan_fwd(xw, w_hh, b_hh, h0, interpret=False):
-    y = _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=interpret)
-    return y, (xw, w_hh, b_hh, h0, y)
+    xw_tm = _to_tm(xw)
+    y = _gru_scan_pallas_tm(xw_tm, w_hh, b_hh, h0, interpret=interpret)
+    return y, (xw_tm, w_hh, b_hh, h0, y)
 
 
 def _gru_scan_bwd(interpret, res, g):
     # backward = second Pallas kernel (reverse sweep, gates recomputed
     # from the saved outputs): the whole recurrence stays TWO kernel
-    # launches per training step instead of ~2 x T x ~15 scan ops
-    xw, w_hh, b_hh, h0, y = res
-    return _gru_scan_pallas_bwd(xw, w_hh, b_hh, h0, y, g,
+    # launches per training step instead of ~2 x T x ~15 scan ops. The
+    # xw residual is the forward kernel's own bf16 T-major input.
+    xw_tm, w_hh, b_hh, h0, y = res
+    return _gru_scan_pallas_bwd(xw_tm, w_hh, b_hh, h0, y, g,
                                 interpret=interpret)
 
 

@@ -172,7 +172,8 @@ def test_gru_backward_multiblock_accumulation():
     """dw_hh/db_hh accumulate across batch AND (reversed) time blocks;
     time padding in the backward sweep stays inert."""
     from pb_sed_tpu.ops.pallas.gru import (
-        _gru_scan_pallas, _gru_scan_pallas_bwd, _gru_scan_reference_d)
+        _gru_scan_pallas, _gru_scan_pallas_bwd, _gru_scan_reference_d,
+        _to_tm)
     xw, w_hh, b_hh, h0 = make_inputs(d=2, b=8, t=21, h=8, seed=4)
     y = _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=True,
                          block_b=4, block_t=8)
@@ -182,7 +183,7 @@ def test_gru_backward_multiblock_accumulation():
     rng = np.random.RandomState(5)
     g = jnp.asarray(rng.randn(*y.shape).astype(np.float32))
     dxw, dw, db, dh0 = _gru_scan_pallas_bwd(
-        xw, w_hh, b_hh, h0, y, g, interpret=True, block_b=4, block_t=8)
+        _to_tm(xw), w_hh, b_hh, h0, y, g, interpret=True, block_b=4, block_t=8)
     _, vjp = jax.vjp(_gru_scan_reference_d, xw, w_hh, b_hh, h0)
     dxw_r, dw_r, db_r, dh0_r = vjp(g)
     _assert_close_bf16(dxw, dxw_r)
@@ -196,14 +197,15 @@ def test_gru_backward_partial_batch_block():
     leak into the dw_hh/db_hh accumulation matmuls; the batch is now
     zero-padded to the block size."""
     from pb_sed_tpu.ops.pallas.gru import (
-        _gru_scan_pallas, _gru_scan_pallas_bwd, _gru_scan_reference_d)
+        _gru_scan_pallas, _gru_scan_pallas_bwd, _gru_scan_reference_d,
+        _to_tm)
     xw, w_hh, b_hh, h0 = make_inputs(d=1, b=6, t=11, h=8, seed=6)
     y = _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=True,
                          block_b=4, block_t=8)
     rng = np.random.RandomState(7)
     g = jnp.asarray(rng.randn(*y.shape).astype(np.float32))
     grads = _gru_scan_pallas_bwd(
-        xw, w_hh, b_hh, h0, y, g, interpret=True, block_b=4, block_t=8)
+        _to_tm(xw), w_hh, b_hh, h0, y, g, interpret=True, block_b=4, block_t=8)
     _, vjp = jax.vjp(_gru_scan_reference_d, xw, w_hh, b_hh, h0)
     for got, ref in zip(grads, vjp(g)):
         _assert_close_bf16(got, ref)
