@@ -27,8 +27,13 @@ selects it. Training runs a SECOND hand-written Pallas kernel as the
 ``jax.custom_vjp`` backward (:func:`_gru_scan_pallas_bwd`): a reverse
 time-blocked sweep that recomputes the gates from the saved outputs —
 so a full training step spends TWO kernel launches per GRU instead of
-~2 x T x ~15 scan ops. Measured on v5e at flagship size: forward 2.28 ms
-vs 2.94 ms scan; forward+grad 4.31 ms vs 5.04 ms.
+~2 x T x ~15 scan ops. Measured on v5e at flagship size (trace-timed
+device spans): forward 0.43 ms vs 0.50 ms scan; forward+grad 2.17 ms
+vs 3.51 ms. Both kernels stream ONE shared (D, T, B, 3H) bf16 xw (the
+forward input doubles as the backward residual) and the backward's
+h_prev residual ships bf16 in the same layout; block_t=32 for the
+backward still overflows scoped VMEM even with bf16 slabs (re-probed
+after the diet: remote compile rejects 32 and 64 at D=2, H=256).
 """
 import functools
 
