@@ -2,7 +2,7 @@
 pb_sed_tpu.utils.xplane (used by bench.py and Trainer.profile_at)."""
 from pb_sed_tpu.utils.xplane import (  # noqa: F401
     device_step_times_ms, duty_cycle_summary, iter_fields,
-    module_busy_times_ms)
+    module_busy_times_ms, op_breakdown_ms, stall_gaps_ms)
 
 if __name__ == '__main__':
     import sys

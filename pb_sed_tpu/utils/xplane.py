@@ -261,6 +261,74 @@ def op_breakdown_ms(trace_dir, top=None, collapse=True):
     return {k: (round(v[0], 3), v[1]) for k, v in out}
 
 
+_ASYNC_MARKERS = ('copy-start', 'slice-start', 'copy-done',
+                  'slice-done', 'async')
+
+
+def _gaps_in_span(span, intervals, min_gap_ps):
+    """Uncovered holes of (start, stop) ``span`` given sorted-or-not
+    ``intervals``: [(gap_start, gap_stop)] with gap >= min_gap_ps."""
+    s0, s1 = span
+    gaps = []
+    cur = s0
+    for a, b in sorted(intervals):
+        if a > cur and a - cur >= min_gap_ps and cur < s1:
+            gaps.append((cur, min(a, s1)))
+        cur = max(cur, b)
+        if cur >= s1:
+            break
+    if s1 - cur >= min_gap_ps:
+        gaps.append((cur, s1))
+    return gaps
+
+
+def stall_gaps_ms(trace_dir, min_gap_ms=0.1, top=20):
+    """Where a module span is NOT covered by synchronous compute ops —
+    the DMA-stall structure duty_cycle_summary cannot see (async
+    copy/slice spans pad the busy union to ~1.0 even while the compute
+    units wait on transfers). For the longest module span of each
+    device plane: total sync-gap time and the ``top`` largest holes,
+    each with the async ops whose spans cover it (the transfers being
+    waited on). Found the round-3 32->30 ms GRU-residual stalls.
+
+    Returns {'span_ms', 'sync_ms', 'gap_ms', 'gaps': [(gap_ms,
+    offset_ms, [covering async op names])]} for the first TPU plane
+    with a module span (empty dict otherwise).
+    """
+    for _, meta, lines in _iter_tpu_planes(trace_dir):
+        mods, sync, asyn = [], [], []
+        for line_name, ts, events in lines:
+            if b'XLA Modules' in line_name:
+                mods += [(off, off + dur) for _, off, dur in events]
+            elif b'XLA Ops' in line_name:
+                for mid, off, dur in events:
+                    name = meta.get(mid, b'?').decode('utf-8', 'replace')
+                    (asyn if any(s in name for s in _ASYNC_MARKERS)
+                     else sync).append((off, off + dur, name))
+        if not mods:
+            continue
+        span = max(mods, key=lambda m: m[1] - m[0])
+        ivs = [(a, b) for a, b, _ in sync
+               if a >= span[0] and b <= span[1]]
+        gaps = _gaps_in_span(span, ivs, int(min_gap_ms * 1e9))
+        total_gap = sum(b - a for a, b in gaps)
+        gaps.sort(key=lambda g: g[0] - g[1])
+        out = []
+        for a, b in gaps[:top]:
+            cover = sorted({n.split(' = ')[0] for x, y, n in asyn
+                            if x < b and y > a})
+            out.append((round((b - a) / 1e9, 3),
+                        round((a - span[0]) / 1e9, 3), cover[:8]))
+        return {
+            'span_ms': round((span[1] - span[0]) / 1e9, 3),
+            'sync_ms': round(_union_length(ivs) / 1e9, 3),
+            'gap_ms': round(total_gap / 1e9, 3),
+            'n_gaps': len(gaps),
+            'gaps': out,
+        }
+    return {}
+
+
 def duty_cycle_summary(trace_dir):
     """{'span_ms': median module span, 'busy_ms': median op-busy time,
     'duty_cycle': busy/span} over the module executions in the trace
@@ -289,6 +357,13 @@ if __name__ == '__main__':
     print(f'{len(ts)} module executions; ms each: '
           f'{[round(t, 3) for t in sorted(ts)[-10:]]}')
     print('duty:', duty_cycle_summary(trace))
+    stalls = stall_gaps_ms(trace)
+    if stalls:
+        print(f"stalls: span {stalls['span_ms']} ms, sync "
+              f"{stalls['sync_ms']} ms, gaps {stalls['gap_ms']} ms "
+              f"({stalls['n_gaps']})")
+        for gap_ms, at_ms, cover in stalls['gaps'][:8]:
+            print(f'  {gap_ms:6.3f} ms at +{at_ms:8.3f} ms  {cover[:4]}')
     print('top ops (total ms, count):')
     for name, (ms, count) in op_breakdown_ms(trace, top=40).items():
         print(f'  {ms:9.3f}  x{count:<5d} {name}')

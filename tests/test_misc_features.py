@@ -240,3 +240,22 @@ def test_merge_segments_short_clip_keeps_tail():
     }
     merged = merge_segments(pooled, segment_overlap=20)
     np.testing.assert_allclose(merged['A'], [[0.7, 0.9]])
+
+
+def test_xplane_gaps_in_span():
+    """Pure interval logic of the stall-gap analyzer
+    (utils/xplane.py:stall_gaps_ms): holes of a span not covered by
+    sync-op intervals, honoring the minimum-gap threshold and
+    overlapping/out-of-order input."""
+    from pb_sed_tpu.utils.xplane import _gaps_in_span
+
+    span = (0, 100)
+    ivs = [(10, 30), (20, 40), (55, 60), (90, 95)]  # overlap + holes
+    gaps = _gaps_in_span(span, ivs, 0)
+    assert gaps == [(0, 10), (40, 55), (60, 90), (95, 100)]
+    # threshold drops the 5-wide tail holes
+    assert _gaps_in_span(span, ivs, 6) == [(0, 10), (40, 55), (60, 90)]
+    # fully covered span -> no gaps
+    assert _gaps_in_span((10, 40), [(0, 50)], 0) == []
+    # empty coverage -> the whole span is one gap
+    assert _gaps_in_span((5, 9), [], 0) == [(5, 9)]
