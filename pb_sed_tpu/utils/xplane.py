@@ -262,7 +262,16 @@ def op_breakdown_ms(trace_dir, top=None, collapse=True):
 
 
 _ASYNC_MARKERS = ('copy-start', 'slice-start', 'copy-done',
-                  'slice-done', 'async')
+                  'slice-done')
+
+
+def _is_async_dma(name):
+    """Pure-DMA op (its span is transfer wait, not compute occupancy):
+    match on the op NAME (before ' = '), not the whole HLO text —
+    Pallas custom calls and fusion wrappers mention
+    ``calls=%async_computation`` without being DMAs themselves."""
+    head = name.split(' = ')[0]
+    return any(s in head for s in _ASYNC_MARKERS)
 
 
 def _gaps_in_span(span, intervals, min_gap_ps):
@@ -303,7 +312,7 @@ def stall_gaps_ms(trace_dir, min_gap_ms=0.1, top=20):
             elif b'XLA Ops' in line_name:
                 for mid, off, dur in events:
                     name = meta.get(mid, b'?').decode('utf-8', 'replace')
-                    (asyn if any(s in name for s in _ASYNC_MARKERS)
+                    (asyn if _is_async_dma(name)
                      else sync).append((off, off + dur, name))
         if not mods:
             continue
