@@ -48,11 +48,14 @@ The kernel strategy:
 - the kernel masks the wrap-around columns (fp outside [pf, pf+F)) to
   zero, so the structural pad slots of the output are exactly zero and
   the buffer is directly consumable as the next conv's input.
-- backward: dx is the SAME kernel on the (structurally re-masked)
-  cotangent with spatially-flipped channel-transposed weights; dw/db
-  rebuild the forward patch and contract it against the masked
-  cotangent over lanes — (Cout, Lb) x (K, Lb) -> (Cout, K) — into
-  revisited f32 accumulators (grid-serial on TPU: deterministic).
+- backward: ONE fused kernel. dx and dw both contract the SAME im2col
+  patch of the (structurally re-masked) cotangent: dx = flipped
+  channel-transposed weights @ patch (transposed conv), and — by the
+  change of variables q = p + off — dw at FLIPPED tap d' is
+  (Cin, Lb) x (Kg, Lb)^T against the unshifted input block, into a
+  revisited f32 accumulator (grid-serial on TPU: deterministic). The
+  forward activation therefore never needs a patch build, gm is read
+  once instead of twice, and backward launches halve.
 
 ``conv2d_mxu`` is the drop-in (B, T, F, C) wrapper (pack -> kernel ->
 unpack); NOTE the per-call pack/unpack relayout costs more than the
@@ -244,31 +247,43 @@ def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, patch, *, g, cin, cout,
     y_ref[0, :, :] = acc.astype(y_ref.dtype)
 
 
-def _dw_kernel(x_ref, g_ref, dwt_ref, db_ref, patch, *, g, cin, cout,
-               nb):
-    """dw/db accumulation per (example, time-block) grid step. dwt_ref
-    (Cout, K) and db_ref (Cout, 1) are revisited f32 blocks accumulated
-    across the (serial, deterministic) grid. g_ref (1, Cout, tc*Fs) is
-    the tiled, structurally PRE-MASKED cotangent block."""
+def _bwd_kernel(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, patch, *, g,
+                cin, cout, nb):
+    """Fused dx+dw per (example, time-block) grid step — BOTH gradients
+    contract the SAME im2col patch of the cotangent, so the forward
+    activation never needs a patch build and gm is read once:
+
+        dx[ci, l]           = sum_kg w_flip2[ci, kg] * gm_patch[kg, l]
+        dwt[ci, (d', co)]   = sum_l  x[ci, l]        * gm_patch[(d', co), l]
+
+    where d' is the FLIPPED tap index (change of variables q = p + off:
+    dw[d, ci, co] = sum_p gm[co, p] x[ci, p + off(d)]
+                  = sum_q x[ci, q] gm[co, q + off(flip(d))]) — the
+    wrapper un-flips. w_ref (Cin, Kg) bf16 flipped+transposed weights,
+    x_ref (1, Cin, tc*Fs) tiled input block, gm_ref (1, Cout, Ls)
+    revisited PRE-MASKED cotangent, dx_ref (1, Cin, tc*Fs) bf16 tiled,
+    dwt_ref (Cin, Kg) f32 revisited accumulator (grid-serial on TPU:
+    deterministic), patch (Kg, tc*Fs) bf16 scratch, Kg = kt*kf*Cout."""
     b_idx = pl.program_id(0)
     ti = pl.program_id(1)
+    lb = g.tc * g.fs
 
     @pl.when((b_idx == 0) & (ti == 0))
     def _zero():
         dwt_ref[:] = jnp.zeros_like(dwt_ref)
-        db_ref[:] = jnp.zeros_like(db_ref)
 
     for blk in range(nb):
 
         @pl.when(ti == blk)
         def _do(blk=blk):
-            _build_patch(x_ref, patch, g, cin, blk * g.tc)
+            _build_patch(gm_ref, patch, g, cout, blk * g.tc)
 
-    gm = g_ref[0, :, :]
+    dx = jnp.dot(w_ref[:], patch[:], preferred_element_type=jnp.float32)
+    dx = dx * _out_mask(g, lb, ti * g.tc, jnp.float32)
+    dx_ref[0, :, :] = dx.astype(dx_ref.dtype)
     dwt_ref[:] += jax.lax.dot_general(
-        gm, patch[:], (((1,), (1,)), ((), ())),
+        x_ref[0, :, :], patch[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    db_ref[:] += jnp.sum(gm.astype(jnp.float32), axis=1, keepdims=True)
 
 
 def _w2(w):
@@ -314,42 +329,50 @@ def _fwd_packed(x2, w, b, geom, interpret):
     return y
 
 
-def _dw_packed(x2, gm2, w_shape, geom, interpret):
-    """Raw packed dw/db: returns ((kt, kf, Cin, Cout) f32, (Cout,) f32).
-    gm2 must already be structurally masked (real-value lanes only)."""
+def _bwd_fused(x2, gm2, w, geom, interpret):
+    """Fused packed backward: ONE kernel produces dx AND dw from a
+    single cotangent patch (see _bwd_kernel). Returns
+    ((B, Cin, Ls) bf16 dx, (kt, kf, Cin, Cout) f32 dw). gm2 must
+    already be structurally masked (real-value lanes only)."""
     g = geom
     bsz, cin, _ = x2.shape
-    kt, kf, _, cout = w_shape
+    kt, kf, wcin, cout = w.shape
+    assert wcin == cin, (w.shape, x2.shape)
     if pltpu is None:  # pragma: no cover
         raise RuntimeError('pallas TPU support unavailable')
-    k = kt * kf * cin
+    kg = kt * kf * cout
     nb = g.tp // g.tc
     lb = g.tc * g.fs
-    kernel = functools.partial(_dw_kernel, g=g, cin=cin, cout=cout, nb=nb)
-    dwt, db = pl.pallas_call(
+    # dx = SAME-conv of gm with spatially flipped, channel-transposed w
+    w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    kernel = functools.partial(_bwd_kernel, g=g, cin=cin, cout=cout,
+                               nb=nb)
+    dx, dwt = pl.pallas_call(
         kernel,
         grid=(bsz, nb),
         in_specs=[
-            pl.BlockSpec((1, cin, g.ls), lambda bi, ti: (bi, 0, 0)),
-            pl.BlockSpec((1, cout, lb), lambda bi, ti: (bi, 0, ti)),
+            pl.BlockSpec((cin, kg), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, cin, lb), lambda bi, ti: (bi, 0, ti)),
+            pl.BlockSpec((1, cout, g.ls), lambda bi, ti: (bi, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((cout, k), lambda bi, ti: (0, 0)),
-            pl.BlockSpec((cout, 1), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, cin, lb), lambda bi, ti: (bi, 0, ti)),
+            pl.BlockSpec((cin, kg), lambda bi, ti: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((cout, k), jnp.float32),
-            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, cin, nb * lb), jnp.bfloat16),
+            jax.ShapeDtypeStruct((cin, kg), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((k, lb), jnp.bfloat16),
+            pltpu.VMEM((kg, lb), jnp.bfloat16),
         ],
         interpret=interpret,
-    )(x2.astype(jnp.bfloat16),
-      gm2[:, :, :nb * lb].astype(jnp.bfloat16))
-    # (Cout, (dt, df, ci)) -> (kt, kf, Cin, Cout)
-    dw = dwt.reshape(cout, kt, kf, cin).transpose(1, 2, 3, 0)
-    return dw, db.reshape(cout)
+    )(_w2(w_flip), x2.astype(jnp.bfloat16), gm2.astype(jnp.bfloat16))
+    assert dx.shape[-1] == g.ls, (dx.shape, g)
+    # dwt[ci, (dt', df', co)] = dw[kt-1-dt', kf-1-df', ci, co]
+    dw = dwt.reshape(cin, kt, kf, cout)[:, ::-1, ::-1, :].transpose(
+        1, 2, 0, 3)
+    return dx, dw
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -379,10 +402,8 @@ def _conv2d_packed_bwd(geom, interpret, res, gy):
     # layer's taps DO read them, so gy is nonzero there)
     gym = gy * lane_mask(geom, gy.dtype)
     gm = gym.astype(jnp.bfloat16)
-    # dx = SAME-conv of gy with spatially flipped, channel-transposed w
-    w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
-    dx = _fwd_packed(gm, w_flip, None, geom, interpret).astype(x2.dtype)
-    dw, _ = _dw_packed(x2, gm, w.shape, geom, interpret)
+    dx, dw = _bwd_fused(x2, gm, w, geom, interpret)
+    dx = dx.astype(x2.dtype)
     # db in f32 from the UNQUANTIZED cotangent (the kernel's bf16 sum
     # loses ~2% on partially cancelling sums; this fuses into gym)
     db = (None if no_bias
