@@ -60,6 +60,7 @@ class NormalizedLogMelExtractor(nn.Module, Configurable):
     stft_window_length: int = 960
     stft_fading: str = 'half'
     stft_window: str = 'blackman'
+    stft_backend: str = 'auto'  # 'auto': MXU real-DFT matmul on TPU
     number_of_filters: int = 128
     lowest_frequency: float = 50.
     highest_frequency: float = None
@@ -91,7 +92,7 @@ class NormalizedLogMelExtractor(nn.Module, Configurable):
         return STFT(
             shift=self.stft_shift, window_length=self.stft_window_length,
             size=self.stft_size, fading=self.stft_fading,
-            window=self.stft_window,
+            window=self.stft_window, backend=self.stft_backend,
         )
 
     @nn.compact

@@ -61,10 +61,12 @@ class STFT:
     fading: str = 'half'
     pad: bool = True
     window: str = 'blackman'
+    backend: str = 'auto'  # 'auto' | 'fft' | 'matmul'
 
     def __post_init__(self):
         assert self.size >= self.window_length, (self.size, self.window_length)
         assert self.fading in (None, 'none', 'half', 'full'), self.fading
+        assert self.backend in ('auto', 'fft', 'matmul'), self.backend
 
     # ------------------------------------------------------------------
     # geometry (host-side helpers, also used for label alignment)
@@ -185,8 +187,45 @@ class STFT:
 
     def _frames_to_magnitude(self, frames):
         win = jnp.asarray(_window(self.window, self.window_length))
+        if self._resolve_backend() == 'matmul':
+            return self._magnitude_matmul(frames)
         spec = jnp.fft.rfft(frames * win, n=self.size, axis=-1)
         return jnp.abs(spec).astype(jnp.float32)
+
+    def _resolve_backend(self):
+        if self.backend != 'auto':
+            return self.backend
+        return 'matmul' if jax.default_backend() == 'tpu' else 'fft'
+
+    def _dft_basis(self):
+        """Windowed real-DFT basis (window_length, 2 * num_bins) f32:
+        column k is win * cos(2*pi*k*n/size), column num_bins + k is
+        -win * sin(...), so ``frames @ basis`` equals
+        rfft(frames * win, n=size) split into [real | imag] (the zero
+        rows of the n >= window_length pad contribute nothing)."""
+        n = np.arange(self.window_length)[:, None]
+        k = np.arange(self.num_bins)[None, :]
+        ang = 2. * np.pi * n * k / self.size
+        win = _window(self.window, self.window_length)[:, None]
+        return np.concatenate(
+            [win * np.cos(ang), -win * np.sin(ang)], axis=1
+        ).astype(np.float32)
+
+    def _magnitude_matmul(self, frames):
+        """Magnitude spectrogram via ONE bf16 MXU matmul (f32 accum).
+
+        On TPU ``jnp.fft.rfft`` lowers to chained mixed-radix stages in
+        f32 HIGHEST-precision emulation — measured 1.93 ms/step of the
+        flagship train step (fwd + VJP). The windowed real-DFT as a
+        (B*T, W) @ (W, 2F) bf16 matmul runs on the MXU and its VJP is
+        just the transposed matmul. bf16 inputs bound the relative
+        magnitude error at ~4e-3 (downstream is log-mel + batch norm;
+        parity pinned by tests/test_features.py)."""
+        basis = jnp.asarray(self._dft_basis(), jnp.bfloat16)
+        spec = jnp.dot(frames.astype(jnp.bfloat16), basis,
+                       preferred_element_type=jnp.float32)
+        re, im = jnp.split(spec, 2, axis=-1)
+        return jnp.sqrt(re * re + im * im)
 
     def magnitude_warped(self, audio, warp_anchor_out, warp_anchor_in,
                          valid_len):
