@@ -99,7 +99,7 @@ _VMEM_TARGET_BYTES = 14 * 1024 * 1024
 _PATCH_LIMIT_BYTES = 6 * 1024 * 1024
 
 
-def _max_block_lanes(k, cmax, ls):
+def _max_block_lanes(k, cmax, ls, halo=0):
     """Largest per-block lane count Lb whose estimated scoped-VMEM
     footprint fits _VMEM_TARGET_BYTES for BOTH kernels. Footprint model
     (cmax stands in for cin and cout; bf16 = 2 B):
@@ -108,9 +108,13 @@ def _max_block_lanes(k, cmax, ls):
                + dw accumulator (cmax, K) f32
       per-Lb:  patch (K, Lb) bf16 + two double-buffered (cmax, Lb) bf16
                tiles (in/out) + the (cmax, Lb) f32 matmul accumulator
+
+    ``halo > 0`` additionally charges the pre-rotate scratch of the
+    128-aligned (rot) build path — one reused (cmax, Lb + halo) bf16
+    buffer (halo = (row_kernel - 1) * fs lanes).
     """
-    fixed = cmax * ls * 2 + 6 * cmax * k
-    per_lane = 2 * k + 12 * cmax
+    fixed = cmax * ls * 2 + 6 * cmax * k + 2 * cmax * halo
+    per_lane = 2 * k + 12 * cmax + (2 * cmax if halo else 0)
     return max((_VMEM_TARGET_BYTES - fixed) // per_lane, 0)
 
 
@@ -259,18 +263,76 @@ def _build_patch(x_ref, patch, g, cin, t0):
                         (cin, lb - head - n), patch.dtype)
 
 
-def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, patch, *, g, cin, cout,
-                use_bias, nb):
+def _copy_clamped(dst, dst_rows, src_ref, off, n_lanes, cin):
+    """dst[dst_rows, :n_lanes] = src_ref[0, :, off:off + n_lanes] with
+    out-of-range source lanes zero-filled (off is a static int)."""
+    lo = max(off, 0)
+    hi = min(off + n_lanes, src_ref.shape[-1])
+    head = min(max(lo - off, 0), n_lanes)
+    n = max(hi - lo, 0)
+    if head:
+        dst[dst_rows, :head] = jnp.zeros((cin, head), dst.dtype)
+    if n > 0:
+        dst[dst_rows, head:head + n] = src_ref[0, :, lo:hi]
+    if head + n < n_lanes:
+        dst[dst_rows, head + n:] = jnp.zeros(
+            (cin, n_lanes - head - n), dst.dtype)
+
+
+def _build_patch_rot(x_ref, patch, xr, g, cin, t0):
+    """128-aligned-lane patch build (production fm orientation).
+
+    ``_build_patch`` issues kt*kf tap copies of which the df != pf ones
+    are lane-MISALIGNED by df - pf (not a multiple of the 128-lane
+    tile) — Mosaic lowers each through the lane-rotate network, and
+    on-chip decomposition measured those 6-of-9 copies at ~1/3 of the
+    whole kernel's time (build-only 0.33 ms vs 0.22 ms with the shift
+    dropped, at both 16->16 F128 and 64->64 F32). This variant pays the
+    rotate ONCE per shift: fill xr (cin, (tc + kt - 1) * fs) with the
+    block's halo-extended row span at lane offset dsh (one misaligned
+    copy), then the kt row taps of that shift are ALIGNED slices of xr
+    (fs is a 128-multiple in the fm orientation). Requires
+    g.fs % 128 == 0; edge zero-fill moves into the xr fill."""
+    lb = g.tc * g.fs
+    span = (g.tc + g.kt - 1) * g.fs
+    base = (t0 - g.pt) * g.fs
+    # centre (already aligned) taps read x_ref directly
+    for dt in range(g.kt):
+        rows = slice((dt * g.kf + g.pf) * cin,
+                     (dt * g.kf + g.pf + 1) * cin)
+        _copy_clamped(patch, rows, x_ref, (t0 + dt - g.pt) * g.fs, lb,
+                      cin)
+    for df in range(g.kf):
+        if df == g.pf:
+            continue
+        _copy_clamped(xr, slice(0, cin), x_ref, base + (df - g.pf),
+                      span, cin)
+        for dt in range(g.kt):
+            rows = slice((dt * g.kf + df) * cin,
+                         (dt * g.kf + df + 1) * cin)
+            patch[rows, :] = xr[0:cin, dt * g.fs:dt * g.fs + lb]
+
+
+def _build(x_ref, patch, xr, g, cin, t0):
+    if xr is None:
+        _build_patch(x_ref, patch, g, cin, t0)
+    else:
+        _build_patch_rot(x_ref, patch, xr, g, cin, t0)
+
+
+def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, patch, *scratch, g, cin,
+                cout, use_bias, nb):
     """One (example, time-block) grid step: x_ref (1, Cin, Ls) bf16
     revisited, w_ref (Cout, K) bf16, b_ref (Cout, 1) f32, y_ref
     (1, Cout, tc*Fs) bf16 tiled, patch (K, tc*Fs) bf16 scratch."""
     lb = g.tc * g.fs
+    xr = scratch[0] if scratch else None
     ti = pl.program_id(1)
     for blk in range(nb):  # lowered to nb static program variants
 
         @pl.when(ti == blk)
         def _do(blk=blk):
-            _build_patch(x_ref, patch, g, cin, blk * g.tc)
+            _build(x_ref, patch, xr, g, cin, blk * g.tc)
 
     acc = jnp.dot(w_ref[:], patch[:], preferred_element_type=jnp.float32)
     if use_bias:
@@ -279,8 +341,8 @@ def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, patch, *, g, cin, cout,
     y_ref[0, :, :] = acc.astype(y_ref.dtype)
 
 
-def _bwd_kernel(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, patch, *, g,
-                cin, cout, nb):
+def _bwd_kernel(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, patch, *scratch,
+                g, cin, cout, nb):
     """Fused dx+dw per (example, time-block) grid step — BOTH gradients
     contract the SAME im2col patch of the cotangent, so the forward
     activation never needs a patch build and gm is read once:
@@ -299,6 +361,7 @@ def _bwd_kernel(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, patch, *, g,
     b_idx = pl.program_id(0)
     ti = pl.program_id(1)
     lb = g.tc * g.fs
+    xr = scratch[0] if scratch else None
 
     @pl.when((b_idx == 0) & (ti == 0))
     def _zero():
@@ -308,7 +371,7 @@ def _bwd_kernel(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, patch, *, g,
 
         @pl.when(ti == blk)
         def _do(blk=blk):
-            _build_patch(gm_ref, patch, g, cout, blk * g.tc)
+            _build(gm_ref, patch, xr, g, cout, blk * g.tc)
 
     dx = jnp.dot(w_ref[:], patch[:], preferred_element_type=jnp.float32)
     dx = dx * _out_mask(g, lb, ti * g.tc, jnp.float32)
@@ -338,6 +401,7 @@ def _fwd_packed(x2, w, b, geom, interpret):
     lb = g.tc * g.fs
     b2 = (jnp.zeros((cout, 1), jnp.float32) if b is None
           else b.reshape(cout, 1).astype(jnp.float32))
+    rot = g.fs % 128 == 0 and g.kf > 1  # fm orientation: see _build_patch_rot
     kernel = functools.partial(
         _fwd_kernel, g=g, cin=cin, cout=cout, use_bias=b is not None,
         nb=nb)
@@ -352,9 +416,9 @@ def _fwd_packed(x2, w, b, geom, interpret):
         out_specs=pl.BlockSpec((1, cout, lb), lambda bi, ti: (bi, 0, ti)),
         out_shape=jax.ShapeDtypeStruct((bsz, cout, nb * lb),
                                        jnp.bfloat16),
-        scratch_shapes=[
-            pltpu.VMEM((k, lb), jnp.bfloat16),
-        ],
+        scratch_shapes=[pltpu.VMEM((k, lb), jnp.bfloat16)] + (
+            [pltpu.VMEM((cin, (g.tc + g.kt - 1) * g.fs), jnp.bfloat16)]
+            if rot else []),
         interpret=interpret,
     )(x2.astype(jnp.bfloat16), _w2(w), b2)
     assert y.shape[-1] == g.ls, (y.shape, g)
@@ -377,6 +441,7 @@ def _bwd_fused(x2, gm2, w, geom, interpret):
     lb = g.tc * g.fs
     # dx = SAME-conv of gm with spatially flipped, channel-transposed w
     w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    rot = g.fs % 128 == 0 and g.kf > 1  # see _build_patch_rot
     kernel = functools.partial(_bwd_kernel, g=g, cin=cin, cout=cout,
                                nb=nb)
     dx, dwt = pl.pallas_call(
@@ -395,9 +460,9 @@ def _bwd_fused(x2, gm2, w, geom, interpret):
             jax.ShapeDtypeStruct((bsz, cin, nb * lb), jnp.bfloat16),
             jax.ShapeDtypeStruct((cin, kg), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((kg, lb), jnp.bfloat16),
-        ],
+        scratch_shapes=[pltpu.VMEM((kg, lb), jnp.bfloat16)] + (
+            [pltpu.VMEM((cout, (g.tc + g.kt - 1) * g.fs), jnp.bfloat16)]
+            if rot else []),
         interpret=interpret,
     )(_w2(w_flip), x2.astype(jnp.bfloat16), gm2.astype(jnp.bfloat16))
     assert dx.shape[-1] == g.ls, (dx.shape, g)
@@ -482,7 +547,8 @@ def fm_geom(t_frames, f_bins, kt, kf, cmax):
     ts = -(-(t_frames + kt - 1) // 128) * 128
     c = max(cmax, 8)
     k = kt * kf * c
-    budget = max(1, _max_block_lanes(k, c, f_bins * ts) // ts)
+    budget = max(1, _max_block_lanes(
+        k, c, f_bins * ts, halo=(kf - 1) * ts) // ts)
     fc = 1
     for d in range(1, f_bins + 1):
         if f_bins % d == 0 and d <= budget:
@@ -502,7 +568,8 @@ def fm_supported(t_frames, f_bins, kt, kf, cmax):
     c = max(cmax, 8)
     patch = kt * kf * c * ts * 2
     return (patch <= _PATCH_LIMIT_BYTES
-            and _max_block_lanes(kt * kf * c, c, f_bins * ts) >= ts)
+            and _max_block_lanes(kt * kf * c, c, f_bins * ts,
+                                 halo=(kf - 1) * ts) >= ts)
 
 
 def pack_fm(x4, geom, dtype=jnp.bfloat16):

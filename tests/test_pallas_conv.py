@@ -112,6 +112,39 @@ def test_conv2d_packed_fm_single_row_blocks(interpret_mode):
     np.testing.assert_allclose(np.asarray(y), y_ref, atol=atol)
 
 
+def test_rot_patch_build_bit_exact(interpret_mode, monkeypatch):
+    """The pre-rotate patch build (_build_patch_rot, taken on the
+    128-aligned fm orientation) assembles the SAME taps as the plain
+    per-tap build — forward and all three gradients must be
+    bit-identical; only the copy schedule differs (one misaligned copy
+    per lane shift instead of kt per shift)."""
+    rng = np.random.RandomState(7)
+    x = _rand(rng, 2, 25, 8, 16)
+    w = _rand(rng, 3, 3, 16, 16) / 12.
+    b = _rand(rng, 16) * .1
+    g = pconv.fm_geom(25, 8, 3, 3, 16)
+    assert g.fs % 128 == 0  # rot path active
+    x2 = pconv.pack_fm(x, g)
+
+    def loss(x2, w, b):
+        y2 = pconv.conv2d_packed_fm(x2, w, b, g, True)
+        return jnp.sum(jnp.abs(y2.astype(jnp.float32)))
+
+    y_rot = pconv.conv2d_packed_fm(x2, w, b, g, True)
+    g_rot = jax.grad(loss, argnums=(0, 1, 2))(x2, w, b)
+    monkeypatch.setattr(
+        pconv, '_build',
+        lambda x_ref, patch, xr, gg, ci, t0: pconv._build_patch(
+            x_ref, patch, gg, ci, t0))
+    y_old = pconv.conv2d_packed_fm(x2, w, b, g, True)
+    g_old = jax.grad(loss, argnums=(0, 1, 2))(x2, w, b)
+    np.testing.assert_array_equal(np.asarray(y_rot), np.asarray(y_old))
+    for a, o in zip(g_rot, g_old):
+        np.testing.assert_array_equal(
+            np.asarray(a, dtype=np.float32),
+            np.asarray(o, dtype=np.float32))
+
+
 def test_conv2d_packed_fm_gradients(interpret_mode):
     rng = np.random.RandomState(3)
     x = _rand(rng, 2, 12, 8, 16)
