@@ -263,24 +263,47 @@ def _build_patch(x_ref, patch, g, cin, t0):
                         (cin, lb - head - n), patch.dtype)
 
 
-def _copy_clamped(dst, dst_rows, src_ref, off, n_lanes, cin):
-    """dst[dst_rows, :n_lanes] = src_ref[0, :, off:off + n_lanes] with
-    out-of-range source lanes zero-filled (off is a static int)."""
+def _copy_clamped(dst, dst_rows, src_ref, off, n_lanes, cin, dst_lo=0):
+    """dst[dst_rows, dst_lo:dst_lo + n_lanes] =
+    src_ref[0, :, off:off + n_lanes] with out-of-range source lanes
+    zero-filled (off / dst_lo are static ints)."""
     lo = max(off, 0)
     hi = min(off + n_lanes, src_ref.shape[-1])
     head = min(max(lo - off, 0), n_lanes)
     n = max(hi - lo, 0)
     if head:
-        dst[dst_rows, :head] = jnp.zeros((cin, head), dst.dtype)
+        dst[dst_rows, dst_lo:dst_lo + head] = jnp.zeros(
+            (cin, head), dst.dtype)
     if n > 0:
-        dst[dst_rows, head:head + n] = src_ref[0, :, lo:hi]
+        dst[dst_rows, dst_lo + head:dst_lo + head + n] = src_ref[
+            0, :, lo:hi]
     if head + n < n_lanes:
-        dst[dst_rows, head + n:] = jnp.zeros(
+        dst[dst_rows, dst_lo + head + n:dst_lo + n_lanes] = jnp.zeros(
             (cin, n_lanes - head - n), dst.dtype)
 
 
-def _build_patch_rot(x_ref, patch, xr, g, cin, t0):
-    """128-aligned-lane patch build (production fm orientation).
+def _use_rot(g):
+    """Whether the pre-rotate split build applies (the fm orientation's
+    128-aligned rows; tests monkeypatch this to pin bit-exactness
+    against the legacy per-tap build)."""
+    return g.fs % 128 == 0 and g.kf > 1
+
+
+def _splits(g):
+    """Row sub-ranges processed per grid step on the rot path: two
+    halves when the block is splittable. Probed on-chip at splits of
+    1/2/4/8: 2 wins ~10% of whole-kernel time at EVERY flagship shape
+    (identical with interleaved or grouped matmul order, so the win is
+    the smaller live patch+accumulator footprint, not MXU/VPU overlap);
+    4 and 8 are flat-to-worse."""
+    if g.tc % 2 == 0:
+        return ((0, g.tc // 2), (g.tc // 2, g.tc // 2))
+    return ((0, g.tc),)
+
+
+def _build_patch_rot(x_ref, patch, xr, g, cin, t0, row0=0, rows_n=None):
+    """128-aligned-lane patch build (production fm orientation) of the
+    block-row sub-range [row0, row0 + rows_n).
 
     ``_build_patch`` issues kt*kf tap copies of which the df != pf ones
     are lane-MISALIGNED by df - pf (not a multiple of the 128-lane
@@ -289,19 +312,22 @@ def _build_patch_rot(x_ref, patch, xr, g, cin, t0):
     whole kernel's time (build-only 0.33 ms vs 0.22 ms with the shift
     dropped, at both 16->16 F128 and 64->64 F32). This variant pays the
     rotate ONCE per shift: fill xr (cin, (tc + kt - 1) * fs) with the
-    block's halo-extended row span at lane offset dsh (one misaligned
+    range's halo-extended row span at lane offset dsh (one misaligned
     copy), then the kt row taps of that shift are ALIGNED slices of xr
     (fs is a 128-multiple in the fm orientation). Requires
     g.fs % 128 == 0; edge zero-fill moves into the xr fill."""
-    lb = g.tc * g.fs
-    span = (g.tc + g.kt - 1) * g.fs
-    base = (t0 - g.pt) * g.fs
+    if rows_n is None:
+        rows_n = g.tc
+    lb = rows_n * g.fs
+    lo_lane = row0 * g.fs
+    span = (rows_n + g.kt - 1) * g.fs
+    base = (t0 + row0 - g.pt) * g.fs
     # centre (already aligned) taps read x_ref directly
     for dt in range(g.kt):
         rows = slice((dt * g.kf + g.pf) * cin,
                      (dt * g.kf + g.pf + 1) * cin)
-        _copy_clamped(patch, rows, x_ref, (t0 + dt - g.pt) * g.fs, lb,
-                      cin)
+        _copy_clamped(patch, rows, x_ref, base + dt * g.fs, lb, cin,
+                      dst_lo=lo_lane)
     for df in range(g.kf):
         if df == g.pf:
             continue
@@ -310,14 +336,8 @@ def _build_patch_rot(x_ref, patch, xr, g, cin, t0):
         for dt in range(g.kt):
             rows = slice((dt * g.kf + df) * cin,
                          (dt * g.kf + df + 1) * cin)
-            patch[rows, :] = xr[0:cin, dt * g.fs:dt * g.fs + lb]
-
-
-def _build(x_ref, patch, xr, g, cin, t0):
-    if xr is None:
-        _build_patch(x_ref, patch, g, cin, t0)
-    else:
-        _build_patch_rot(x_ref, patch, xr, g, cin, t0)
+            patch[rows, lo_lane:lo_lane + lb] = xr[
+                0:cin, dt * g.fs:dt * g.fs + lb]
 
 
 def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, patch, *scratch, g, cin,
@@ -328,11 +348,28 @@ def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, patch, *scratch, g, cin,
     lb = g.tc * g.fs
     xr = scratch[0] if scratch else None
     ti = pl.program_id(1)
+    if xr is not None:  # rot path: per-half build + matmul (_splits)
+        for blk in range(nb):
+
+            @pl.when(ti == blk)
+            def _do(blk=blk):
+                t0 = blk * g.tc
+                for row0, rows_n in _splits(g):
+                    _build_patch_rot(x_ref, patch, xr, g, cin, t0,
+                                     row0, rows_n)
+                    lo, n = row0 * g.fs, rows_n * g.fs
+                    acc = jnp.dot(w_ref[:], patch[:, lo:lo + n],
+                                  preferred_element_type=jnp.float32)
+                    if use_bias:
+                        acc = acc + b_ref[:]
+                    acc = acc * _out_mask(g, n, t0 + row0, jnp.float32)
+                    y_ref[0, :, lo:lo + n] = acc.astype(y_ref.dtype)
+        return
     for blk in range(nb):  # lowered to nb static program variants
 
         @pl.when(ti == blk)
         def _do(blk=blk):
-            _build(x_ref, patch, xr, g, cin, blk * g.tc)
+            _build_patch(x_ref, patch, g, cin, blk * g.tc)
 
     acc = jnp.dot(w_ref[:], patch[:], preferred_element_type=jnp.float32)
     if use_bias:
@@ -367,11 +404,33 @@ def _bwd_kernel(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, patch, *scratch,
     def _zero():
         dwt_ref[:] = jnp.zeros_like(dwt_ref)
 
+    if xr is not None:  # rot path: per-half build + matmuls (_splits)
+        for blk in range(nb):
+
+            @pl.when(ti == blk)
+            def _do(blk=blk):
+                t0 = blk * g.tc
+                for row0, rows_n in _splits(g):
+                    _build_patch_rot(gm_ref, patch, xr, g, cout, t0,
+                                     row0, rows_n)
+                    lo, n = row0 * g.fs, rows_n * g.fs
+                    dx = jnp.dot(w_ref[:], patch[:, lo:lo + n],
+                                 preferred_element_type=jnp.float32)
+                    dx = dx * _out_mask(g, n, t0 + row0, jnp.float32)
+                    dx_ref[0, :, lo:lo + n] = dx.astype(dx_ref.dtype)
+                    # half-range lane contraction; summed over halves
+                    # this is exactly the full-block dwt contribution
+                    dwt_ref[:] += jax.lax.dot_general(
+                        x_ref[0, :, lo:lo + n], patch[:, lo:lo + n],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+        return
+
     for blk in range(nb):
 
         @pl.when(ti == blk)
         def _do(blk=blk):
-            _build(gm_ref, patch, xr, g, cout, blk * g.tc)
+            _build_patch(gm_ref, patch, g, cout, blk * g.tc)
 
     dx = jnp.dot(w_ref[:], patch[:], preferred_element_type=jnp.float32)
     dx = dx * _out_mask(g, lb, ti * g.tc, jnp.float32)
@@ -401,7 +460,7 @@ def _fwd_packed(x2, w, b, geom, interpret):
     lb = g.tc * g.fs
     b2 = (jnp.zeros((cout, 1), jnp.float32) if b is None
           else b.reshape(cout, 1).astype(jnp.float32))
-    rot = g.fs % 128 == 0 and g.kf > 1  # fm orientation: see _build_patch_rot
+    rot = _use_rot(g)
     kernel = functools.partial(
         _fwd_kernel, g=g, cin=cin, cout=cout, use_bias=b is not None,
         nb=nb)
@@ -441,7 +500,7 @@ def _bwd_fused(x2, gm2, w, geom, interpret):
     lb = g.tc * g.fs
     # dx = SAME-conv of gm with spatially flipped, channel-transposed w
     w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
-    rot = g.fs % 128 == 0 and g.kf > 1  # see _build_patch_rot
+    rot = _use_rot(g)
     kernel = functools.partial(_bwd_kernel, g=g, cin=cin, cout=cout,
                                nb=nb)
     dx, dwt = pl.pallas_call(

@@ -113,17 +113,18 @@ def test_conv2d_packed_fm_single_row_blocks(interpret_mode):
 
 
 def test_rot_patch_build_bit_exact(interpret_mode, monkeypatch):
-    """The pre-rotate patch build (_build_patch_rot, taken on the
-    128-aligned fm orientation) assembles the SAME taps as the plain
-    per-tap build — forward and all three gradients must be
-    bit-identical; only the copy schedule differs (one misaligned copy
-    per lane shift instead of kt per shift)."""
+    """The split pre-rotate patch build (_build_patch_rot over _splits,
+    taken on the 128-aligned fm orientation) assembles the SAME taps as
+    the plain whole-block per-tap build — forward and all three
+    gradients must be bit-identical; only the copy/matmul schedule
+    differs (one misaligned copy per lane shift instead of kt per
+    shift; two half-block matmuls instead of one)."""
     rng = np.random.RandomState(7)
     x = _rand(rng, 2, 25, 8, 16)
     w = _rand(rng, 3, 3, 16, 16) / 12.
     b = _rand(rng, 16) * .1
     g = pconv.fm_geom(25, 8, 3, 3, 16)
-    assert g.fs % 128 == 0  # rot path active
+    assert pconv._use_rot(g) and g.tc % 2 == 0  # split rot path active
     x2 = pconv.pack_fm(x, g)
 
     def loss(x2, w, b):
@@ -132,17 +133,20 @@ def test_rot_patch_build_bit_exact(interpret_mode, monkeypatch):
 
     y_rot = pconv.conv2d_packed_fm(x2, w, b, g, True)
     g_rot = jax.grad(loss, argnums=(0, 1, 2))(x2, w, b)
-    monkeypatch.setattr(
-        pconv, '_build',
-        lambda x_ref, patch, xr, gg, ci, t0: pconv._build_patch(
-            x_ref, patch, gg, ci, t0))
+    monkeypatch.setattr(pconv, '_use_rot', lambda gg: False)
     y_old = pconv.conv2d_packed_fm(x2, w, b, g, True)
     g_old = jax.grad(loss, argnums=(0, 1, 2))(x2, w, b)
     np.testing.assert_array_equal(np.asarray(y_rot), np.asarray(y_old))
-    for a, o in zip(g_rot, g_old):
-        np.testing.assert_array_equal(
-            np.asarray(a, dtype=np.float32),
-            np.asarray(o, dtype=np.float32))
+    # dx / db: bit-exact (per-element contractions are unchanged); dw:
+    # the split accumulates two f32 half-lane sums, so summation ORDER
+    # differs -> ULP-level tolerance
+    np.testing.assert_array_equal(
+        np.asarray(g_rot[0], np.float32), np.asarray(g_old[0], np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(g_rot[2], np.float32), np.asarray(g_old[2], np.float32))
+    np.testing.assert_allclose(
+        np.asarray(g_rot[1], np.float32), np.asarray(g_old[1], np.float32),
+        rtol=1e-5, atol=1e-6)
 
 
 def test_conv2d_packed_fm_gradients(interpret_mode):
