@@ -340,14 +340,85 @@ def _build_patch_rot(x_ref, patch, xr, g, cin, t0, row0=0, rows_n=None):
                 0:cin, dt * g.fs:dt * g.fs + lb]
 
 
+def _use_taps(g, c):
+    """Whether the patch-FREE tap-wise path applies: the per-tap
+    matmuls contract K = c, so c must be a 128-multiple or every tap
+    pays MXU ceil-waste the shared patch amortizes. Probed on-chip at
+    128->128 / 256->256 (fwd) and 128<-128 / 128<-256 (bwd): 8-12%
+    faster than the split-rot patch kernels — the patch write + tap
+    copies disappear; only the (kf-1) pre-rotate fills remain."""
+    return _use_rot(g) and c % 128 == 0
+
+
+def _shift_list(g):
+    return [d - g.pf for d in range(g.kf) if d != g.pf]
+
+
+def _fill_shifts(src_ref, xr, g, c, t0):
+    """Fill xr ((kf-1)*c, span) with the block's halo-extended row span
+    at every nonzero lane shift (one misaligned copy each)."""
+    span = (g.tc + g.kt - 1) * g.fs
+    base = (t0 - g.pt) * g.fs
+    for si, dsh in enumerate(_shift_list(g)):
+        _copy_clamped(xr, slice(si * c, (si + 1) * c), src_ref,
+                      base + dsh, span, c)
+
+
+def _tap_op(src_ref, xr, tmp, g, c, t0, dt, df):
+    """(c, lb) operand of tap (dt, df), or None when fully out of
+    range: centre taps read src_ref directly (edge blocks stage a
+    zero-filled copy in tmp), shifted taps are ALIGNED slices of the
+    pre-rotated xr."""
+    lb = g.tc * g.fs
+    base = (t0 - g.pt) * g.fs
+    if df == g.pf:
+        off = base + dt * g.fs
+        lo = max(off, 0)
+        hi = min(off + lb, src_ref.shape[-1])
+        if hi - lo == lb:
+            return src_ref[0, :, lo:hi]
+        if hi <= lo:
+            return None
+        _copy_clamped(tmp, slice(0, c), src_ref, off, lb, c)
+        return tmp[0:c, :]
+    si = _shift_list(g).index(df - g.pf)
+    aoff = dt * g.fs
+    return xr[si * c:(si + 1) * c, aoff:aoff + lb]
+
+
 def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, patch, *scratch, g, cin,
-                cout, use_bias, nb):
+                cout, use_bias, nb, taps=False):
     """One (example, time-block) grid step: x_ref (1, Cin, Ls) bf16
     revisited, w_ref (Cout, K) bf16, b_ref (Cout, 1) f32, y_ref
     (1, Cout, tc*Fs) bf16 tiled, patch (K, tc*Fs) bf16 scratch."""
     lb = g.tc * g.fs
-    xr = scratch[0] if scratch else None
     ti = pl.program_id(1)
+    if taps:  # patch-free tap-wise path (cin % 128 == 0); the first
+        # scratch slot holds xr ((kf-1)*cin, span), the second tmp
+        xr_t, tmp = patch, scratch[0]
+        for blk in range(nb):
+
+            @pl.when(ti == blk)
+            def _do(blk=blk):
+                t0 = blk * g.tc
+                _fill_shifts(x_ref, xr_t, g, cin, t0)
+                acc = jnp.zeros((cout, lb), jnp.float32)
+                for dt in range(g.kt):
+                    for df in range(g.kf):
+                        op = _tap_op(x_ref, xr_t, tmp, g, cin, t0, dt,
+                                     df)
+                        if op is None:
+                            continue
+                        kk = dt * g.kf + df
+                        acc = acc + jnp.dot(
+                            w_ref[:, kk * cin:(kk + 1) * cin], op,
+                            preferred_element_type=jnp.float32)
+                if use_bias:
+                    acc = acc + b_ref[:]
+                acc = acc * _out_mask(g, lb, t0, jnp.float32)
+                y_ref[0, :, :] = acc.astype(y_ref.dtype)
+        return
+    xr = scratch[0] if scratch else None
     if xr is not None:  # rot path: per-half build + matmul (_splits)
         for blk in range(nb):
 
@@ -379,7 +450,7 @@ def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, patch, *scratch, g, cin,
 
 
 def _bwd_kernel(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, patch, *scratch,
-                g, cin, cout, nb):
+                g, cin, cout, nb, taps=False):
     """Fused dx+dw per (example, time-block) grid step — BOTH gradients
     contract the SAME im2col patch of the cotangent, so the forward
     activation never needs a patch build and gm is read once:
@@ -398,12 +469,42 @@ def _bwd_kernel(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, patch, *scratch,
     b_idx = pl.program_id(0)
     ti = pl.program_id(1)
     lb = g.tc * g.fs
-    xr = scratch[0] if scratch else None
 
     @pl.when((b_idx == 0) & (ti == 0))
     def _zero():
         dwt_ref[:] = jnp.zeros_like(dwt_ref)
 
+    if taps:  # patch-free tap-wise path (cout % 128 == 0): per tap,
+        # dx accumulates (Cin, Cout) @ op and dwt's tap column block
+        # accumulates x @ op^T, op being a gm_ref / xr slice
+        xr_t, tmp = patch, scratch[0]
+        for blk in range(nb):
+
+            @pl.when(ti == blk)
+            def _do(blk=blk):
+                t0 = blk * g.tc
+                _fill_shifts(gm_ref, xr_t, g, cout, t0)
+                acc = jnp.zeros((cin, lb), jnp.float32)
+                xb = x_ref[0, :, :]
+                for dt in range(g.kt):
+                    for df in range(g.kf):
+                        op = _tap_op(gm_ref, xr_t, tmp, g, cout, t0,
+                                     dt, df)
+                        if op is None:
+                            continue
+                        kk = dt * g.kf + df
+                        acc = acc + jnp.dot(
+                            w_ref[:, kk * cout:(kk + 1) * cout], op,
+                            preferred_element_type=jnp.float32)
+                        dwt_ref[:, kk * cout:(kk + 1) * cout] += \
+                            jax.lax.dot_general(
+                                xb, op, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                acc = acc * _out_mask(g, lb, t0, jnp.float32)
+                dx_ref[0, :, :] = acc.astype(dx_ref.dtype)
+        return
+
+    xr = scratch[0] if scratch else None
     if xr is not None:  # rot path: per-half build + matmuls (_splits)
         for blk in range(nb):
 
@@ -461,9 +562,19 @@ def _fwd_packed(x2, w, b, geom, interpret):
     b2 = (jnp.zeros((cout, 1), jnp.float32) if b is None
           else b.reshape(cout, 1).astype(jnp.float32))
     rot = _use_rot(g)
+    taps = _use_taps(g, cin)
+    span = (g.tc + g.kt - 1) * g.fs
+    if taps:
+        scratch = [pltpu.VMEM(((g.kf - 1) * cin, span), jnp.bfloat16),
+                   pltpu.VMEM((cin, lb), jnp.bfloat16)]
+    elif rot:
+        scratch = [pltpu.VMEM((k, lb), jnp.bfloat16),
+                   pltpu.VMEM((cin, span), jnp.bfloat16)]
+    else:
+        scratch = [pltpu.VMEM((k, lb), jnp.bfloat16)]
     kernel = functools.partial(
         _fwd_kernel, g=g, cin=cin, cout=cout, use_bias=b is not None,
-        nb=nb)
+        nb=nb, taps=taps)
     y = pl.pallas_call(
         kernel,
         grid=(bsz, nb),
@@ -475,9 +586,7 @@ def _fwd_packed(x2, w, b, geom, interpret):
         out_specs=pl.BlockSpec((1, cout, lb), lambda bi, ti: (bi, 0, ti)),
         out_shape=jax.ShapeDtypeStruct((bsz, cout, nb * lb),
                                        jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((k, lb), jnp.bfloat16)] + (
-            [pltpu.VMEM((cin, (g.tc + g.kt - 1) * g.fs), jnp.bfloat16)]
-            if rot else []),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(x2.astype(jnp.bfloat16), _w2(w), b2)
     assert y.shape[-1] == g.ls, (y.shape, g)
@@ -501,8 +610,18 @@ def _bwd_fused(x2, gm2, w, geom, interpret):
     # dx = SAME-conv of gm with spatially flipped, channel-transposed w
     w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
     rot = _use_rot(g)
+    taps = _use_taps(g, cout)
+    span = (g.tc + g.kt - 1) * g.fs
+    if taps:
+        scratch = [pltpu.VMEM(((g.kf - 1) * cout, span), jnp.bfloat16),
+                   pltpu.VMEM((cout, lb), jnp.bfloat16)]
+    elif rot:
+        scratch = [pltpu.VMEM((kg, lb), jnp.bfloat16),
+                   pltpu.VMEM((cout, span), jnp.bfloat16)]
+    else:
+        scratch = [pltpu.VMEM((kg, lb), jnp.bfloat16)]
     kernel = functools.partial(_bwd_kernel, g=g, cin=cin, cout=cout,
-                               nb=nb)
+                               nb=nb, taps=taps)
     dx, dwt = pl.pallas_call(
         kernel,
         grid=(bsz, nb),
@@ -519,9 +638,7 @@ def _bwd_fused(x2, gm2, w, geom, interpret):
             jax.ShapeDtypeStruct((bsz, cin, nb * lb), jnp.bfloat16),
             jax.ShapeDtypeStruct((cin, kg), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((kg, lb), jnp.bfloat16)] + (
-            [pltpu.VMEM((cout, (g.tc + g.kt - 1) * g.fs), jnp.bfloat16)]
-            if rot else []),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(_w2(w_flip), x2.astype(jnp.bfloat16), gm2.astype(jnp.bfloat16))
     assert dx.shape[-1] == g.ls, (dx.shape, g)

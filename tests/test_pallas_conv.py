@@ -149,6 +149,41 @@ def test_rot_patch_build_bit_exact(interpret_mode, monkeypatch):
         rtol=1e-5, atol=1e-6)
 
 
+def test_tapwise_path_matches_patch_path(interpret_mode, monkeypatch):
+    """At 128-multiple channel counts the kernels take the patch-FREE
+    tap-wise path (_use_taps); forward and gradients must match the
+    patch path within summation-order tolerance (9 f32 partial sums vs
+    one K-contraction; operands are identical bf16 values)."""
+    rng = np.random.RandomState(9)
+    c = 128
+    x = _rand(rng, 1, 20, 4, c) / 4.
+    w = _rand(rng, 3, 3, c, c) / 40.
+    b = _rand(rng, c) * .1
+    g = pconv.fm_geom(20, 4, 3, 3, c)
+    assert pconv._use_taps(g, c)
+    x2 = pconv.pack_fm(x, g)
+    gy = _rand(rng, 1, 20, 4, c)
+
+    def loss(x2, w, b):
+        y2 = pconv.conv2d_packed_fm(x2, w, b, g, True)
+        return jnp.sum(pconv.unpack_fm(y2, g, jnp.float32) * gy)
+
+    y_taps = pconv.conv2d_packed_fm(x2, w, b, g, True)
+    g_taps = jax.grad(loss, argnums=(0, 1, 2))(x2, w, b)
+    monkeypatch.setattr(pconv, '_use_taps', lambda gg, cc: False)
+    y_patch = pconv.conv2d_packed_fm(x2, w, b, g, True)
+    g_patch = jax.grad(loss, argnums=(0, 1, 2))(x2, w, b)
+    scale = float(np.max(np.abs(np.asarray(y_patch, np.float32))))
+    np.testing.assert_allclose(
+        np.asarray(y_taps, np.float32), np.asarray(y_patch, np.float32),
+        atol=2e-2 * scale)
+    for a, o in zip(g_taps, g_patch):
+        o = np.asarray(o, np.float32)
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), o,
+            atol=1e-5 + 1e-3 * float(np.max(np.abs(o))))
+
+
 def test_conv2d_packed_fm_gradients(interpret_mode):
     rng = np.random.RandomState(3)
     x = _rand(rng, 2, 12, 8, 16)
