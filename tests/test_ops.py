@@ -126,6 +126,33 @@ def test_masking_ops():
     assert rev[1, 0, :2].tolist() == [13, 12]
 
 
+def test_onehot_roll_bit_exact(monkeypatch):
+    """The one-hot MXU roll (taken on TPU at axis=1, T <= 1024) is a
+    permutation matmul at Precision.HIGHEST — it must reproduce the
+    dynamic-slice roll BIT-exactly, including the wrapped pad region
+    and through the involution VJP."""
+    import jax
+    import jax.numpy as jnp
+    from pb_sed_tpu.ops import masking as mk
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(3, 17, 5).astype(np.float32))
+    seq_len = jnp.asarray([17, 9, 1])
+
+    def loss(x):
+        return jnp.sum(mk.reverse_sequence(x, seq_len, axis=1) ** 3)
+
+    y_slice = mk.reverse_sequence(x, seq_len, axis=1)
+    g_slice = jax.grad(loss)(x)
+    monkeypatch.setattr(mk, '_use_onehot_roll', lambda t, a, n: True)
+    y_oh = mk.reverse_sequence(x, seq_len, axis=1)
+    g_oh = jax.grad(loss)(x)
+    np.testing.assert_array_equal(np.asarray(y_oh), np.asarray(y_slice))
+    np.testing.assert_array_equal(np.asarray(g_oh), np.asarray(g_slice))
+    # values land where they should
+    np.testing.assert_array_equal(
+        np.asarray(y_oh)[1, :9], np.asarray(x)[1, 8::-1])
+
+
 def test_filters_match_scipy_reference_semantics():
     from scipy import signal
     rng = np.random.RandomState(0)
