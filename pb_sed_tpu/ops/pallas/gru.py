@@ -115,13 +115,14 @@ def _fwd_blocks(d, h, b):
 
 def _bwd_blocks(d, h, b):
     """(block_b, block_t) for the backward kernel: FIVE streamed slabs
-    (~32*h bytes per (d, b, t) cell) PLUS the revisited dw_hh block,
-    which scales h*3h (h^2!) — at D=1, H=512 that block alone is
-    3.1 MB and block_t=16 overflowed scoped VMEM by 5.57 MB (measured
-    on v5e). Anchor: (32, 16) fits D=2, H=256 (block_t=32 overflowed
-    by 1.63 MB)."""
+    (~26*d*h bytes per (b, t) cell — the direction fold streams ALL
+    directions per grid step) PLUS the revisited dw_hh block, which
+    scales d*h*3h (h^2!) — at D=1, H=512 that block alone is 3.1 MB
+    and block_t=16 overflowed scoped VMEM by 5.57 MB (measured on
+    v5e). Anchors: (32, 16) fits D=1 H=256; D=2 H=256 needs (32, 8)
+    (16 overflowed by 828 KB after the fold)."""
     if h <= 256:
-        return min(32, b), (16 if d * h <= 512 else 8)
+        return min(32, b), (16 if d * h <= 256 else 8)
     # h > 256 does NOT fit the 16 MB scoped-VMEM budget in this layout:
     # (16, 8) measured 48 KB over at D=1, H=512, (8, 8) paradoxically
     # 1.12 MB over (allocator fixed structures grow non-monotonically),
@@ -195,16 +196,29 @@ def _gru_scan_pallas_tm(xw_tm, w_hh, b_hh, h0, interpret=False,
     return y[:, :, :t, :]
 
 
-def _gru_bwd_kernel(xw_ref, hprev_ref, w_hh_ref, b_hh_ref, g_ref,
-                    dxw_ref, dwhh_ref, dbhh_ref, dh0_ref, dh_scratch, *,
-                    t_block, hidden):
-    """Reverse-sweep backward: one (direction, batch-block, rev-time-
-    block) grid step. Recomputes the gates from xw + h_prev (cheaper
-    than storing them), carries dh in VMEM scratch and accumulates
-    dw_hh / db_hh directly in their (revisited) output blocks."""
-    b_idx = pl.program_id(1)
-    t_idx = pl.program_id(2)
-    nt = pl.num_programs(2)
+def _gru_bwd_kernel(xw_ref, hprev_ref, wcat_ref, wt_ref, b_hh_ref,
+                    g_ref, dxw_ref, dwhh_ref, dbhh_ref, dh0_ref,
+                    dh_scratch, *, t_block, hidden, d):
+    """Reverse-sweep backward: one (batch-block, rev-time-block) grid
+    step, BOTH directions fused. Recomputes the gates from xw + h_prev
+    (cheaper than storing them), carries dh in VMEM scratch and
+    accumulates dw_hh / db_hh directly in their (revisited) output
+    blocks.
+
+    Like the forward kernel, the direction axis folds into the ROWS of
+    the MXU matmuls (the backward previously serialized directions as a
+    grid axis — half the rows per issue at the same tile count):
+
+      hw      = h_cat (D*B, H) @ w_cat (H, D*3H), diagonal blocks read
+      dh_mat  = dgates_wide (D*B, D*3H) @ wT_stack (D*3H, H) — the
+                block-diagonal dgates placement makes row block d see
+                only w_hh[d]^T
+      dw_cat += h_cat^T-contraction with dgates_wide -> (H, D*3H),
+                column block d = direction d's dw_hh
+    """
+    b_idx = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    nt = pl.num_programs(1)
 
     @pl.when(t_idx == 0)
     def _reset_carry():
@@ -212,27 +226,38 @@ def _gru_bwd_kernel(xw_ref, hprev_ref, w_hh_ref, b_hh_ref, g_ref,
 
     @pl.when((b_idx == 0) & (t_idx == 0))
     def _zero_accumulators():
-        dwhh_ref[0] = jnp.zeros_like(dwhh_ref[0])
-        dbhh_ref[0] = jnp.zeros_like(dbhh_ref[0])
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref[:])
+        dbhh_ref[:] = jnp.zeros_like(dbhh_ref[:])
 
-    # w_hh ships as bf16 (it is only ever a bf16 MXU operand, f32
+    # weights ship as bf16 (only ever bf16 MXU operands, f32
     # accumulate) — the full-weight VMEM block at f32 was a dominant
     # fixed cost at H=512 (measured)
-    w_hh_c = w_hh_ref[0]
-    b_hh = b_hh_ref[0]
+    w_cat = wcat_ref[:]      # (H, D*3H)
+    w_t = wt_ref[:]          # (D*3H, H), rows d*3H.. = w_hh[d]^T
+    bb = hprev_ref.shape[2]
+    # (D, 1, 3H) bias -> (D*B, 3H) rows once per kernel invocation
+    b_rows = jnp.broadcast_to(
+        b_hh_ref[:], (d, bb, 3 * hidden)).reshape(d * bb, 3 * hidden)
 
     def body(k, carry):
-        dh, dw_acc, db_acc = carry
+        dh, dw_acc, db_acc = carry  # dh: (D*B, H) f32
         t = t_block - 1 - k  # local reverse sweep
         # xw / h_prev stream bf16 in the forward kernel's (D, T, B, *)
         # layout: the residual is the SAME array the forward consumed
         # (no second f32 copy), and the recomputed gates match the
-        # forward's bf16 inputs exactly
-        h_prev_c = hprev_ref[0, t, :, :]      # (B, H) bf16
+        # forward's bf16 inputs exactly. (D, B) merges into rows — a
+        # layout no-op (both are major dims).
+        h_prev_c = hprev_ref[:, t, :, :].reshape(d * bb, hidden)
         h_prev = h_prev_c.astype(jnp.float32)
-        xw_t = xw_ref[0, t, :, :].astype(jnp.float32)
-        hw = jnp.dot(h_prev_c, w_hh_c,
-                     preferred_element_type=jnp.float32) + b_hh
+        xw_t = xw_ref[:, t, :, :].reshape(
+            d * bb, 3 * hidden).astype(jnp.float32)
+        hw_cat = jnp.dot(h_prev_c, w_cat,
+                         preferred_element_type=jnp.float32)
+        # per-direction diagonal blocks -> (D*B, 3H)
+        hw = jnp.concatenate(
+            [hw_cat[di * bb:(di + 1) * bb,
+                    di * 3 * hidden:(di + 1) * 3 * hidden]
+             for di in range(d)], axis=0) + b_rows
         xr = xw_t[:, :hidden]
         xz = xw_t[:, hidden:2 * hidden]
         xn = xw_t[:, 2 * hidden:]
@@ -243,35 +268,52 @@ def _gru_bwd_kernel(xw_ref, hprev_ref, w_hh_ref, b_hh_ref, g_ref,
         z = jax.nn.sigmoid(xz + hz)
         n = jnp.tanh(xn + r * hn)
 
-        dh_total = g_ref[0, :, t, :] + dh
+        g_t = g_ref[:, :, t, :].reshape(d * bb, hidden)
+        dh_total = g_t.astype(jnp.float32) + dh
         dz = dh_total * (h_prev - n) * z * (1. - z)
         dpre_n = dh_total * (1. - z) * (1. - n * n)
         dpre_r = dpre_n * hn * r * (1. - r)
-        dxw_ref[0, :, t, :] = jnp.concatenate(
-            [dpre_r, dz, dpre_n], axis=-1)
-        # grads w.r.t. the hw projection: (dhr, dhz, dhn)
+        dxw = jnp.concatenate([dpre_r, dz, dpre_n], axis=-1)
+        # T-major write like the xw layout: a dynamic t index on a bf16
+        # second-minor dim is unlowerable (sublane pairs pack along it)
+        dxw_ref[:, t, :, :] = dxw.astype(dxw_ref.dtype).reshape(
+            d, bb, 3 * hidden)
+        # grads w.r.t. the hw projection: (dhr, dhz, dhn), placed
+        # BLOCK-DIAGONALLY over (D*B, D*3H) so one matmul applies each
+        # direction's own w_hh^T / accumulates its own dw column block
         dgates_h = jnp.concatenate(
-            [dpre_r, dz, dpre_n * r], axis=-1)  # (B, 3H)
+            [dpre_r, dz, dpre_n * r], axis=-1)  # (D*B, 3H)
         dgates_c = dgates_h.astype(jnp.bfloat16)
+        if d == 1:
+            dgates_wide = dgates_c
+        else:
+            dgates_wide = jnp.concatenate([
+                jnp.pad(dgates_c[di * bb:(di + 1) * bb],
+                        ((0, 0), (di * 3 * hidden,
+                                  (d - 1 - di) * 3 * hidden)))
+                for di in range(d)], axis=0)
         dh_new = dh_total * z + jnp.dot(
-            dgates_c, w_hh_c.T, preferred_element_type=jnp.float32)
-        dw_acc = dw_acc + jnp.dot(
-            h_prev_c.T, dgates_c,
+            dgates_wide, w_t, preferred_element_type=jnp.float32)
+        dw_acc = dw_acc + jax.lax.dot_general(
+            h_prev_c, dgates_wide, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        db_acc = db_acc + jnp.sum(dgates_h, axis=0, keepdims=True)
+        # (1, D*3H): column block d = direction d's bias gradient
+        db_acc = db_acc + jnp.concatenate(
+            [jnp.sum(dgates_h[di * bb:(di + 1) * bb], axis=0,
+                     keepdims=True) for di in range(d)], axis=1)
         return dh_new, dw_acc, db_acc
 
     dh, dw_acc, db_acc = jax.lax.fori_loop(
         0, t_block, body,
-        (dh_scratch[:], jnp.zeros_like(dwhh_ref[0]),
-         jnp.zeros_like(dbhh_ref[0])))
+        (dh_scratch[:], jnp.zeros_like(dwhh_ref[:]),
+         jnp.zeros_like(dbhh_ref[:])))
     dh_scratch[:] = dh
-    dwhh_ref[0] += dw_acc
-    dbhh_ref[0] += db_acc
+    dwhh_ref[:] += dw_acc
+    dbhh_ref[:] += db_acc
 
     @pl.when(t_idx == nt - 1)
     def _write_dh0():
-        dh0_ref[0] = dh_scratch[:]
+        dh0_ref[:] = dh_scratch[:].reshape(d, bb, hidden)
 
 
 def _gru_scan_pallas_bwd(xw_tm, w_hh, b_hh, h0, y, g, interpret=False,
@@ -313,46 +355,60 @@ def _gru_scan_pallas_bwd(xw_tm, w_hh, b_hh, h0, y, g, interpret=False,
     tt = t + t_pad
     bb = b + b_pad
     nt = tt // block_t
-    grid = (d, bb // block_b, nt)
+    grid = (bb // block_b, nt)
     kernel = functools.partial(
-        _gru_bwd_kernel, t_block=block_t, hidden=h)
+        _gru_bwd_kernel, t_block=block_t, hidden=h, d=d)
     # time blocks are visited in REVERSE (the recurrence runs backward)
-    rev = lambda di, bi, ti: (di, bi, nt - 1 - ti, 0)
-    rev_tm = lambda di, bi, ti: (di, nt - 1 - ti, bi, 0)
+    rev = lambda bi, ti: (0, bi, nt - 1 - ti, 0)
+    rev_tm = lambda bi, ti: (0, nt - 1 - ti, bi, 0)
+    fixed2 = lambda bi, ti: (0, 0)
     in_specs = [
-        pl.BlockSpec((1, block_t, block_b, three_h), rev_tm),     # xw
-        pl.BlockSpec((1, block_t, block_b, h), rev_tm),           # h_prev
-        pl.BlockSpec((1, h, three_h), lambda di, bi, ti: (di, 0, 0)),
-        pl.BlockSpec((1, 1, three_h), lambda di, bi, ti: (di, 0, 0)),
-        pl.BlockSpec((1, block_b, block_t, h), rev),              # g
+        pl.BlockSpec((d, block_t, block_b, three_h), rev_tm),     # xw
+        pl.BlockSpec((d, block_t, block_b, h), rev_tm),           # h_prev
+        pl.BlockSpec((h, d * three_h), fixed2),                   # w_cat
+        pl.BlockSpec((d * three_h, h), fixed2),                   # wT_stack
+        pl.BlockSpec((d, 1, three_h), lambda bi, ti: (0, 0, 0)),
+        pl.BlockSpec((d, block_b, block_t, h), rev),              # g
     ]
     out_specs = [
-        pl.BlockSpec((1, block_b, block_t, three_h), rev),        # dxw
-        pl.BlockSpec((1, h, three_h), lambda di, bi, ti: (di, 0, 0)),
-        pl.BlockSpec((1, 1, three_h), lambda di, bi, ti: (di, 0, 0)),
-        pl.BlockSpec((1, block_b, h), lambda di, bi, ti: (di, bi, 0)),
+        pl.BlockSpec((d, block_t, block_b, three_h), rev_tm),     # dxw
+        pl.BlockSpec((h, d * three_h), fixed2),
+        pl.BlockSpec((1, d * three_h), fixed2),
+        pl.BlockSpec((d, block_b, h), lambda bi, ti: (0, bi, 0)),
     ]
     if pltpu is None:  # pragma: no cover
         raise RuntimeError('pallas TPU support unavailable')
-    dxw, dw_hh, db_hh, dh0 = pl.pallas_call(
+    # (D, H, 3H) -> (H, D*3H) / (D*3H, H) bf16 weight stacks (forward
+    # fold layout + its transpose)
+    w_cat = jnp.swapaxes(w_hh, 0, 1).reshape(
+        h, d * three_h).astype(jnp.bfloat16)
+    w_t = jnp.swapaxes(w_hh, 1, 2).reshape(
+        d * three_h, h).astype(jnp.bfloat16)
+    # dxw ships bf16: it only ever feeds bf16 MXU matmuls downstream
+    # (dx = dxw @ w_ih^T, dw_ih = x^T @ dxw), and f32 was half the
+    # kernel's HBM write traffic
+    dxw, dw_cat, db_cat, dh0 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((d, bb, tt, three_h), jnp.float32),
-            jax.ShapeDtypeStruct((d, h, three_h), jnp.float32),
-            jax.ShapeDtypeStruct((d, 1, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((d, tt, bb, three_h), jnp.bfloat16),
+            jax.ShapeDtypeStruct((h, d * three_h), jnp.float32),
+            jax.ShapeDtypeStruct((1, d * three_h), jnp.float32),
             jax.ShapeDtypeStruct((d, bb, h), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((block_b, h), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((d * block_b, h), jnp.float32)],
         interpret=interpret,
-    )(xw_tm, h_prev,
-      w_hh.astype(jnp.bfloat16),
+    )(xw_tm, h_prev, w_cat, w_t,
       b_hh.reshape(d, 1, three_h).astype(jnp.float32),
       g.astype(jnp.float32))
-    return (dxw[:, :b, :t, :], dw_hh, db_hh.reshape(d, three_h),
-            dh0[:, :b])
+    # (H, D*3H) column blocks -> (D, H, 3H); dxw T-major -> caller's
+    # (D, B, T, 3H) (XLA folds the transpose into the consuming dots)
+    dw_hh = jnp.moveaxis(
+        dw_cat.reshape(h, d, three_h), 1, 0)
+    return (jnp.swapaxes(dxw, 1, 2)[:, :b, :t, :], dw_hh,
+            db_cat.reshape(d, three_h), dh0[:, :b])
 
 
 def gru_scan_reference(xw, w_hh, b_hh, h0):
@@ -417,8 +473,12 @@ def _gru_scan_bwd(interpret, res, g):
     # launches per training step instead of ~2 x T x ~15 scan ops. The
     # xw residual is the forward kernel's own bf16 T-major input.
     xw_tm, w_hh, b_hh, h0, y = res
-    return _gru_scan_pallas_bwd(xw_tm, w_hh, b_hh, h0, y, g,
-                                interpret=interpret)
+    dxw, dw_hh, db_hh, dh0 = _gru_scan_pallas_bwd(
+        xw_tm, w_hh, b_hh, h0, y, g, interpret=interpret)
+    # the kernel writes dxw bf16 (it only feeds bf16 matmuls); the
+    # custom_vjp contract wants the primal's f32 — the convert fuses
+    # into the consumers (dx matmul + db_ih reduce), no f32 buffer
+    return dxw.astype(jnp.float32), dw_hh, db_hh, dh0
 
 
 gru_scan.defvjp(_gru_scan_fwd, _gru_scan_bwd)
