@@ -27,7 +27,7 @@ from pb_sed_tpu.models.base.model import SoundEventModel
 from pb_sed_tpu.ops.cnn import CNN
 from pb_sed_tpu.ops.features import NormalizedLogMelExtractor
 from pb_sed_tpu.ops.masking import compute_mask, masked_mean, take_last
-from pb_sed_tpu.ops.rnn import GRU
+from pb_sed_tpu.ops.rnn import GRU, paired_gru_apply, paired_heads
 
 
 class FBCRNNModule(nn.Module):
@@ -66,6 +66,16 @@ class FBCRNNModule(nn.Module):
     def __call__(self, batch, training=False):
         """Returns (y_fwd, y_bwd, seq_len_y, x, seq_len_x); y are (B, K, T)."""
         h, seq_len_h, x, seq_len_x = self.encode(batch, training=training)
+        if paired_heads(self.rnn_fwd, self.rnn_bwd):
+            # both heads' recurrences in ONE D=2 Pallas launch per
+            # layer (2x MXU row fill; reference runs them sequentially,
+            # weak_label/crnn.py:334-340)
+            y_fwd, y_bwd, seq_len_y = paired_gru_apply(
+                self.rnn_fwd, self.rnn_bwd, h, seq_len_h,
+                training=training)
+            y_fwd = jnp.swapaxes(self._bounded_sigmoid(y_fwd), 1, 2)
+            y_bwd = jnp.swapaxes(self._bounded_sigmoid(y_bwd), 1, 2)
+            return y_fwd, y_bwd, seq_len_y, x, seq_len_x
         y_fwd, seq_len_y = self.rnn_fwd(h, seq_len_h, training=training)
         y_fwd = jnp.swapaxes(self._bounded_sigmoid(y_fwd), 1, 2)
         if self.rnn_bwd is None:
@@ -113,11 +123,18 @@ class FBCRNNModule(nn.Module):
             [hp[:, j:j + n * ws:ws] for j in range(wl)],
             axis=2)  # (B, n, wl, C)
         windows = windows.reshape(b * n, wl, c)
-        y_fwd, _ = self.rnn_fwd(windows, None, training=training)
-        y = self._bounded_sigmoid(y_fwd[:, -1])  # (B*n, K)
-        if self.rnn_bwd is not None:
-            y_bwd, _ = self.rnn_bwd(windows, None, training=training)
-            y = (y + self._bounded_sigmoid(y_bwd[:, 0])) / 2
+        if paired_heads(self.rnn_fwd, self.rnn_bwd):
+            y_fwd, y_bwd, _ = paired_gru_apply(
+                self.rnn_fwd, self.rnn_bwd, windows, None,
+                training=training)
+            y = (self._bounded_sigmoid(y_fwd[:, -1])
+                 + self._bounded_sigmoid(y_bwd[:, 0])) / 2
+        else:
+            y_fwd, _ = self.rnn_fwd(windows, None, training=training)
+            y = self._bounded_sigmoid(y_fwd[:, -1])  # (B*n, K)
+            if self.rnn_bwd is not None:
+                y_bwd, _ = self.rnn_bwd(windows, None, training=training)
+                y = (y + self._bounded_sigmoid(y_bwd[:, 0])) / 2
         k = y.shape[-1]
         y = y.reshape(b, n, k)
         y = jnp.swapaxes(y, 1, 2)  # (B, K, n)

@@ -62,41 +62,59 @@ class GRULayer(nn.Module):
     """Single GRU layer with torch gate ordering (r, z, n).
 
     The input projections for ALL timesteps run as one bf16 MXU matmul
-    outside the scan; the scan carries only the (B, H) x (H, 3H)
-    recurrent matmul, unrolled to amortize loop overhead. With
-    ``use_pallas`` the recurrence runs as the time-blocked Pallas kernel
-    (``ops/pallas/gru.py``) instead of ``lax.scan``.
+    outside the scan (:meth:`project`); the scan carries only the
+    (B, H) x (H, 3H) recurrent matmul, unrolled to amortize loop
+    overhead. With ``use_pallas`` the recurrence runs as the
+    time-blocked Pallas kernel (``ops/pallas/gru.py``) instead of
+    ``lax.scan``. Setup-style (params declared in ``setup`` from
+    ``input_size``) so callers can drive :meth:`project` and the
+    recurrence separately — the FBCRNN head pairing
+    (:func:`paired_gru_apply`) stacks two layers' projections into one
+    D=2 kernel launch.
     """
     hidden_size: int
+    input_size: int
     bias: bool = True
     use_pallas: bool = False
 
-    @nn.compact
+    def setup(self):
+        f, hdim = self.input_size, self.hidden_size
+        self.w_ih = self.param('w_ih', nn.initializers.lecun_normal(),
+                               (f, 3 * hdim))
+        self.w_hh = self.param('w_hh', nn.initializers.orthogonal(),
+                               (hdim, 3 * hdim))
+        if self.bias:
+            self.b_ih = self.param('b_ih', nn.initializers.zeros,
+                                   (3 * hdim,))
+            self.b_hh = self.param('b_hh', nn.initializers.zeros,
+                                   (3 * hdim,))
+        else:
+            self.b_ih = jnp.zeros((3 * hdim,))
+            self.b_hh = jnp.zeros((3 * hdim,))
+
+    def project(self, x):
+        """(B, T, F) -> (B, T, 3H) input projections (+ input bias),
+        one MXU matmul for all timesteps."""
+        assert x.shape[-1] == self.input_size, (x.shape, self.input_size)
+        return jnp.dot(
+            x.astype(jnp.bfloat16), self.w_ih.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32) + self.b_ih
+
     def __call__(self, x, h0=None):
         """x: (B, T, F) -> (B, T, H)."""
         b, t, f = x.shape
         hdim = self.hidden_size
-        w_ih = self.param('w_ih', nn.initializers.lecun_normal(),
-                          (f, 3 * hdim))
-        w_hh = self.param('w_hh', nn.initializers.orthogonal(),
-                          (hdim, 3 * hdim))
-        if self.bias:
-            b_ih = self.param('b_ih', nn.initializers.zeros, (3 * hdim,))
-            b_hh = self.param('b_hh', nn.initializers.zeros, (3 * hdim,))
-        else:
-            b_ih = b_hh = jnp.zeros((3 * hdim,))
-        # all input projections in one MXU matmul, outside the scan
-        xw = jnp.dot(x.astype(jnp.bfloat16), w_ih.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32) + b_ih
+        xw = self.project(x)
         if h0 is None:
             h0 = jnp.zeros((b, hdim), dtype=jnp.float32)
         if self.use_pallas and hdim <= PALLAS_MAX_HIDDEN:
             enabled, interpret = _pallas_enabled()
             if enabled:
                 from pb_sed_tpu.ops.pallas.gru import gru_scan
-                return gru_scan(xw[None], w_hh[None], b_hh[None],
-                                h0[None], interpret)[0]
-        w_hh_c = w_hh.astype(jnp.bfloat16)
+                return gru_scan(xw[None], self.w_hh[None],
+                                self.b_hh[None], h0[None], interpret)[0]
+        w_hh_c = self.w_hh.astype(jnp.bfloat16)
+        b_hh = self.b_hh
 
         def step(h, xw_t):
             hw = jnp.dot(h.astype(jnp.bfloat16), w_hh_c,
@@ -191,6 +209,12 @@ class StackedGRU(nn.Module):
     (``ops/pallas/gru.py``): one forward kernel and one hand-written
     backward kernel (custom VJP), both faster than the scan path on TPU;
     off-TPU the flag falls back to the scan path (``_pallas_enabled``).
+
+    With ``input_size`` set (the model config glue provides it), the
+    unidirectional layer modules are declared in ``setup`` and exposed
+    as ``gru_layers`` so :func:`paired_gru_apply` can fuse two heads'
+    recurrences into one D=2 kernel launch per layer; the parameter
+    tree (``layer_{i}_fwd/...``) is identical either way.
     """
     hidden_size: int
     num_layers: int = 1
@@ -198,7 +222,21 @@ class StackedGRU(nn.Module):
     dropout: float = 0.
     bidirectional: bool = False
     use_pallas: bool = False
-    input_size: int = None  # informational (config glue)
+    input_size: int = None  # enables setup-declared layers (see above)
+
+    def setup(self):
+        if self.bidirectional or self.input_size is None:
+            self.gru_layers = None
+        else:
+            self.gru_layers = [
+                GRULayer(
+                    self.hidden_size,
+                    input_size=(self.input_size if i == 0
+                                else self.hidden_size),
+                    bias=self.bias, use_pallas=self.use_pallas,
+                    name=f'layer_{i}_fwd')
+                for i in range(self.num_layers)
+            ]
 
     @nn.compact
     def __call__(self, x, seq_len, training=False):
@@ -208,9 +246,11 @@ class StackedGRU(nn.Module):
                 h = BiGRULayer(self.hidden_size, self.bias,
                                use_pallas=self.use_pallas,
                                name=f'layer_{i}_bi')(h, seq_len)
+            elif self.gru_layers is not None:
+                h = self.gru_layers[i](h)
             else:
-                h = GRULayer(self.hidden_size, self.bias,
-                             use_pallas=self.use_pallas,
+                h = GRULayer(self.hidden_size, input_size=h.shape[-1],
+                             bias=self.bias, use_pallas=self.use_pallas,
                              name=f'layer_{i}_fwd')(h)
             if self.dropout > 0 and training and i < self.num_layers - 1:
                 h = nn.Dropout(self.dropout, deterministic=False)(h)
@@ -283,6 +323,69 @@ class GRU(nn.Module, Configurable):
                 h = reverse_sequence(h, rev_len, axis=1)
         y, seq_len = self.head(h, seq_len, training=training)
         return y, seq_len
+
+
+def paired_heads(head_f, head_b):
+    """Whether two ``GRU`` heads (the FBCRNN fwd/bwd pair) can run via
+    :func:`paired_gru_apply`: both unidirectional Pallas-enabled
+    StackedGRUs of equal depth/width with setup-declared layers, no
+    inter-layer dropout, on a backend where the kernels engage."""
+    if head_b is None or not isinstance(head_f, GRU) \
+            or not isinstance(head_b, GRU):
+        return False
+    if head_f.reverse or not head_b.reverse:
+        return False
+    cf, cb = head_f.core, head_b.core
+    if not isinstance(cf, StackedGRU) or not isinstance(cb, StackedGRU):
+        return False
+    if cf.bidirectional or cb.bidirectional:
+        return False
+    if cf.gru_layers is None or cb.gru_layers is None:
+        return False
+    if (cf.num_layers != cb.num_layers
+            or cf.hidden_size != cb.hidden_size
+            or cf.dropout > 0 or cb.dropout > 0):
+        return False
+    if not (cf.use_pallas and cb.use_pallas
+            and cf.hidden_size <= PALLAS_MAX_HIDDEN):
+        return False
+    return _pallas_enabled()[0]
+
+
+def paired_gru_apply(head_f, head_b, x, seq_len, training=False):
+    """Run the FBCRNN's two unidirectional GRU heads with each layer's
+    two recurrences fused into ONE D=2 Pallas kernel launch.
+
+    Semantically identical to ``head_f(x, seq_len)`` +
+    ``head_b(x, seq_len)`` (the backward head reverses in, recurs,
+    reverses out — ``GRU.__call__``), but the recurrent matmuls run at
+    2x the MXU row fill and half the launch count (the reference runs
+    the heads strictly sequentially,
+    ``pb_sed/models/weak_label/crnn.py:334-340``).
+
+    Returns ``(y_fwd, y_bwd, seq_len_out)``.
+    """
+    from pb_sed_tpu.ops.pallas.gru import gru_scan
+    core_f, core_b = head_f.core, head_b.core
+    rev_len = seq_len  # None -> plain flip inside reverse_sequence
+    if seq_len is None:
+        seq_len = jnp.full((x.shape[0],), x.shape[1], dtype=jnp.int32)
+    _, interpret = _pallas_enabled()
+    b = x.shape[0]
+    hdim = core_f.hidden_size
+    h_f = x
+    h_b = reverse_sequence(x, rev_len, axis=1)
+    for lf, lb in zip(core_f.gru_layers, core_b.gru_layers):
+        xw = jnp.stack([lf.project(h_f), lb.project(h_b)])
+        w_hh = jnp.stack([lf.w_hh, lb.w_hh])
+        b_hh = jnp.stack([jnp.asarray(lf.b_hh), jnp.asarray(lb.b_hh)])
+        h0 = jnp.zeros((2, b, hdim), dtype=jnp.float32)
+        ys = gru_scan(xw, w_hh, b_hh, h0, interpret)
+        h_f, h_b = ys[0], ys[1]
+    y_f, seq_out = head_f.head(h_f, seq_len, training=training)
+    h_b = reverse_sequence(h_b, rev_len, axis=1)
+    y_b, _ = head_b.head(h_b, seq_len, training=training)
+    return y_f, y_b, seq_out
 
 
 class TransformerEncoder(nn.Module, Configurable):

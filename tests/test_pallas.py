@@ -209,3 +209,73 @@ def test_gru_backward_partial_batch_block():
     _, vjp = jax.vjp(_gru_scan_reference_d, xw, w_hh, b_hh, h0)
     for got, ref in zip(grads, vjp(g)):
         _assert_close_bf16(got, ref)
+
+
+def test_paired_fbcrnn_heads_match_sequential():
+    """paired_gru_apply (one D=2 kernel launch per layer for the
+    FBCRNN's fwd/bwd heads) must match running the two heads
+    sequentially with the SAME parameters, and both wirings must
+    produce the identical parameter tree (checkpoints stay
+    interchangeable)."""
+    import flax.linen as nn
+    from pb_sed_tpu.ops import rnn as rnn_mod
+    from pb_sed_tpu.ops.rnn import (
+        GRU, StackedGRU, paired_gru_apply, paired_heads)
+
+    rnn_cfg = dict(hidden_size=16, num_layers=2, use_pallas=True,
+                   input_size=12)
+    out_cfg = dict(out_channels=[8, 3], kernel_size=1, norm='batch',
+                   output_layer=True)
+
+    class Heads(nn.Module):
+        paired: bool
+
+        def setup(self):
+            self.rnn_fwd = GRU(rnn=dict(rnn_cfg), output_net=dict(out_cfg),
+                               reverse=False)
+            self.rnn_bwd = GRU(rnn=dict(rnn_cfg), output_net=dict(out_cfg),
+                               reverse=True)
+
+        def __call__(self, x, seq_len):
+            if self.paired:
+                assert paired_heads(self.rnn_fwd, self.rnn_bwd)
+                return paired_gru_apply(
+                    self.rnn_fwd, self.rnn_bwd, x, seq_len)
+            sl = seq_len
+            if sl is None:
+                sl = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+            yf, so = self.rnn_fwd(x, sl if seq_len is not None else None)
+            yb, _ = self.rnn_bwd(x, sl if seq_len is not None else None)
+            return yf, yb, so
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(3, 21, 12).astype(np.float32))
+    seq_len = jnp.asarray([21, 15, 8])
+    rnn_mod.set_pallas_mode('force_interpret')
+    try:
+        v_seq = Heads(paired=False).init(jax.random.PRNGKey(0), x, seq_len)
+        v_pair = Heads(paired=True).init(jax.random.PRNGKey(0), x, seq_len)
+        assert jax.tree.structure(v_seq) == jax.tree.structure(v_pair)
+        ref = Heads(paired=False).apply(v_seq, x, seq_len)
+        got = Heads(paired=True).apply(v_seq, x, seq_len)
+        for g, r in zip(got[:2], ref[:2]):
+            _assert_close_bf16(g, r)
+        np.testing.assert_array_equal(np.asarray(got[2]),
+                                      np.asarray(ref[2]))
+        # seq_len=None (sliding-window SED): reversal degenerates to a
+        # plain flip in both paths
+        ref_n = Heads(paired=False).apply(v_seq, x, None)
+        got_n = Heads(paired=True).apply(v_seq, x, None)
+        for g, r in zip(got_n[:2], ref_n[:2]):
+            _assert_close_bf16(g, r)
+    finally:
+        rnn_mod.set_pallas_mode('auto')
+    # setup-declared (input_size given) and legacy inline layer
+    # construction produce the identical parameter tree
+    a = StackedGRU(hidden_size=16, num_layers=2, input_size=12).init(
+        jax.random.PRNGKey(1), x, seq_len)
+    b = StackedGRU(hidden_size=16, num_layers=2).init(
+        jax.random.PRNGKey(1), x, seq_len)
+    assert jax.tree.structure(a) == jax.tree.structure(b)
+    for pa, pb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        assert pa.shape == pb.shape
