@@ -97,6 +97,13 @@ _VMEM_TARGET_BYTES = 14 * 1024 * 1024
 # acceptance LIMIT on the MINIMAL-block patch: shapes that cannot block
 # below this fall back to the XLA conv path
 _PATCH_LIMIT_BYTES = 6 * 1024 * 1024
+# Per-DIRECTION footprint target for the fm tower's taps-aware block
+# chooser (``_fm_dir_bytes``). Calibrated against 12 on-chip
+# compile/fail points at the flagship L6-L8 shapes (block sweep,
+# round 3): every measured-accepted config modeled <= 12.2 MB, every
+# measured-rejected one >= 12.95 MB — 12.5 MB splits them with margin
+# on both sides of the 16 MB scoped-VMEM hardware limit.
+_VMEM_DIR_TARGET_BYTES = int(12.5 * 1024 * 1024)
 
 
 def _max_block_lanes(k, cmax, ls, halo=0):
@@ -139,6 +146,12 @@ class ConvGeom(NamedTuple):
     tp: int       # t padded up to a tc multiple
     fs: int       # lane stride per row (>= f + kf - 1; fm: 128-aligned)
     ls: int       # tp * fs (packed buffer lanes)
+    tcb: int = 0  # BACKWARD rows per block (0 -> tc). The backward
+    #               kernel's footprint differs from the forward's
+    #               (revisited cotangent, dx+x tiles, dwt accumulator),
+    #               so its VMEM-optimal block is generally SMALLER —
+    #               measured on-chip: the forward wins at blocks whose
+    #               backward does not even compile. Must divide tp.
 
     @property
     def pt(self):
@@ -599,6 +612,9 @@ def _bwd_fused(x2, gm2, w, geom, interpret):
     ((B, Cin, Ls) bf16 dx, (kt, kf, Cin, Cout) f32 dw). gm2 must
     already be structurally masked (real-value lanes only)."""
     g = geom
+    if g.tcb and g.tcb != g.tc:  # backward-specific row block
+        assert g.tp % g.tcb == 0, g
+        g = g._replace(tc=g.tcb)
     bsz, cin, _ = x2.shape
     kt, kf, wcin, cout = w.shape
     assert wcin == cin, (w.shape, x2.shape)
@@ -708,7 +724,35 @@ def conv2d_mxu(x, w, b, interpret=False):
 # Freq-major packed TOWER orientation (production path, ops/cnn.py)
 # ---------------------------------------------------------------------
 
-def fm_geom(t_frames, f_bins, kt, kf, cmax):
+def _fm_dir_bytes(tc, fs, ls, rk, lk, cin, cout, bwd):
+    """Scoped-VMEM bytes of ONE kernel direction at row-block ``tc``,
+    modeled per the ACTUAL buffers that direction allocates (rk/lk are
+    the geom-convention row/lane kernel extents). Tiled blocks are
+    charged double-buffered (Mosaic pipelines them); revisited blocks
+    and weights single. Calibrated: see _VMEM_DIR_TARGET_BYTES."""
+    lb = tc * fs
+    span = (tc + rk - 1) * fs
+    cs = cout if bwd else cin   # patched/revisited source channels
+    cd = cin if bwd else cout   # produced channels
+    k = rk * lk * cs
+    n = 2 * cs * ls             # revisited source (x fwd / cotangent bwd)
+    n += 2 * cd * k             # weights (revisited)
+    n += 4 * cd * lb            # f32 matmul accumulator
+    if bwd:
+        n += 8 * cd * lb        # x + dx tiles, double-buffered bf16
+        n += 4 * cd * k         # dwt f32 accumulator (revisited)
+    else:
+        n += 4 * cd * lb        # out tile, double-buffered bf16
+    if fs % 128 == 0 and lk > 1 and cs % 128 == 0:  # taps path
+        n += 2 * (lk - 1) * cs * span + 2 * cs * lb   # xr + tmp
+    elif fs % 128 == 0 and lk > 1:                    # rot path
+        n += 2 * k * lb + 2 * cs * span               # patch + xr
+    else:                                             # legacy build
+        n += 2 * k * lb
+    return n
+
+
+def fm_geom(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None):
     """Freq-major geometry: rows = freq bins, lanes = 128-aligned time.
 
     ``cmax`` is max(cin, cout) of the layer — the backward dx pass runs
@@ -718,11 +762,33 @@ def fm_geom(t_frames, f_bins, kt, kf, cmax):
     flagship tower's F in {128, 64, 32, 16, 8} always lands on nb = 8
     blocks). fs is 128-aligned so every row boundary — and therefore
     every pool block and patch slice — is lane-tile aligned.
+
+    When ``cin``/``cout`` are given, the forward and backward blocks
+    are chosen INDEPENDENTLY from the per-direction footprint model
+    (``_fm_dir_bytes``) — the single-``cmax`` model both over-charges
+    the taps-path layers for a patch they never allocate and ignores
+    that the backward allocates more tiles; measured on-chip (block
+    sweep, round 3) the forward wins 11-18% at L6/L7 blocks whose
+    backward does not compile. The backward block lands in ``tcb``.
     """
     assert kt % 2 == 1 and kf % 2 == 1, (kt, kf)
     ts = -(-(t_frames + kt - 1) // 128) * 128
     c = max(cmax, 8)
     k = kt * kf * c
+    if cin is not None and cout is not None:
+        # geom-convention extents: rows = freq (conv kf), lanes = time
+        ci, co = max(cin, 8), max(cout, 8)
+        fc = fb = 1
+        for d in range(1, f_bins + 1):
+            if f_bins % d == 0:
+                if _fm_dir_bytes(d, ts, f_bins * ts, kf, kt, ci, co,
+                                 False) <= _VMEM_DIR_TARGET_BYTES:
+                    fc = d
+                if _fm_dir_bytes(d, ts, f_bins * ts, kf, kt, ci, co,
+                                 True) <= _VMEM_DIR_TARGET_BYTES:
+                    fb = d
+        g = _with_tc(f_bins, t_frames, kf, kt, fc, fs=ts)
+        return g._replace(tcb=fb) if fb != fc else g
     budget = max(1, _max_block_lanes(
         k, c, f_bins * ts, halo=(kf - 1) * ts) // ts)
     fc = 1
