@@ -9,13 +9,39 @@ bounded buffering and ``drop_incomplete``.
 TPU-first change: instead of the reference's continuous ``max_padding_rate``
 bucket boundaries (which yield arbitrary batch shapes and would force one
 XLA compile per batch), examples are bucketed into a *quantized length
-palette* — padded lengths are rounded up to a multiple of
-``pad_to_multiple`` frames. The palette bounds the number of distinct
-compiled shapes while keeping padding waste <= pad_to_multiple/len; a
-``max_padding_rate`` assertion is preserved on top of the palette.
+palette* — padded lengths are rounded up to a multiple of a rung
+granularity that adapts to the sequence length: ``pad_to_multiple`` for
+long sequences, halving (powers of two) for short ones so that
+``max_padding_rate`` holds as a HARD constraint for every example (the
+reference treats it as hard too,
+``pb_sed/data_preparation/fetcher.py:38-51``). The Pallas/XLA kernels pad
+time internally to their own block multiples, so non-multiple-of-8 rungs
+are legal; the palette's only job is bounding the number of compiled
+programs (<= ~log2(pad_to_multiple) / max_padding_rate rungs over the
+whole length range, and exactly one rung for length-homogeneous corpora
+like 10 s DESED clips).
 """
 import numpy as np
 
+
+def palette_length(seq_len, pad_to_multiple, max_padding_rate=None):
+    """Smallest palette rung >= ``seq_len``.
+
+    Rungs are multiples of a power-of-two granularity ``g <=
+    pad_to_multiple`` chosen so the quantization tail keeps the padding
+    rate within ``max_padding_rate``: ``R - L <= g - 1 <= p*L/(1-p)``
+    implies ``(R - L) / R <= p``.
+    """
+    seq_len = int(seq_len)
+    m = int(pad_to_multiple)
+    if max_padding_rate is not None and seq_len > 0:
+        p = float(max_padding_rate)
+        limit = p * seq_len / (1. - p) + 1.
+        g = 1
+        while g * 2 <= min(limit, m):
+            g *= 2
+        m = g
+    return int(-(-seq_len // m) * m)
 
 
 class DynamicTimeSeriesBucket:
@@ -102,20 +128,11 @@ class DynamicBucketDataset:
         self.reverse_sort = reverse_sort
 
     def palette_length(self, seq_len):
-        m = self.pad_to_multiple
-        length = int(-(-seq_len // m) * m)
-        if (self.max_padding_rate is not None and seq_len > 0
-                and (length - seq_len) / length > self.max_padding_rate
-                and not getattr(self, '_warned_padding', False)):
-            import warnings
-            warnings.warn(
-                f'palette quantization pads a seq_len={seq_len} example '
-                f'to {length} frames (rate '
-                f'{(length - seq_len) / length:.2f} > max_padding_rate='
-                f'{self.max_padding_rate}); the palette multiple '
-                f'({m}) bounds achievable padding rates for short '
-                f'sequences', RuntimeWarning, stacklevel=2)
-            self._warned_padding = True
+        length = palette_length(
+            seq_len, self.pad_to_multiple, self.max_padding_rate)
+        assert (self.max_padding_rate is None or seq_len <= 0
+                or (length - seq_len) / length <= self.max_padding_rate), (
+            seq_len, length, self.max_padding_rate)
         return length
 
     def _finish(self, batch):

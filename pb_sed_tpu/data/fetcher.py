@@ -262,9 +262,13 @@ class DataFetcher(Configurable):
 
         def collate(batch):
             # palette length + waveform pad from the FULL batch (before
-            # any shard slicing) so every host compiles the same shapes
-            t_pad = -(-max(ex['seq_len'] for ex in batch)
-                      // multiple) * multiple
+            # any shard slicing) so every host compiles the same shapes;
+            # the SAME rung function as the bucketer so the pad equals
+            # the bucket rung (max_padding_rate holds per example)
+            from pb_sed_tpu.data.bucketing import palette_length
+            t_pad = palette_length(
+                max(ex['seq_len'] for ex in batch), multiple,
+                self.max_padding_rate)
             if frames_to_samples is not None:
                 s_pad = int(frames_to_samples(t_pad))
             else:

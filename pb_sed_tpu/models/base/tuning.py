@@ -25,37 +25,58 @@ from pb_sed_tpu.ops.filters import medfilt
 from pb_sed_tpu.utils.misc import dump_json
 
 
+def _lower_is_better(minimize, metric_name):
+    """Resolve the per-metric optimization direction: ``minimize`` may
+    be a bool (all metrics), a collection of minimized metric names, or
+    a per-metric dict."""
+    if isinstance(minimize, dict):
+        return bool(minimize[metric_name])
+    if isinstance(minimize, (list, tuple, set, frozenset)):
+        return metric_name in minimize
+    return bool(minimize)
+
+
 def update_leaderboard(leaderboard, metric_name, metric_values,
                        hyper_params_and_other_values, scores,
                        minimize=False):
+    """Fold one tuning-grid point into ``leaderboard[metric_name]``.
+
+    Entry layout — a cross-module contract shared with the reference's
+    tuning surface (``pb_sed/models/base/tuning.py:13-47``) and consumed
+    by ``_dump_leaderboard`` and the ``tune_*`` drivers:
+    ``(best_value_per_class, best_hyper_params_per_class,
+    best_scores_per_clip)``, with a ``'macro_average'`` entry maintained
+    inside the value dict.
+
+    Per event class independently: the candidate grid point wins on a
+    tie-or-better metric value, in which case the class's hyper-params
+    absorb the candidate's dict and every clip's score column for that
+    class is overwritten with the candidate's scores (so the stored
+    score dataframes are per-class mosaics of the winning settings).
+    """
+    classes = list(hyper_params_and_other_values)
     if metric_name not in leaderboard:
-        values = {
-            event_class: metric_values[event_class]
-            for event_class in hyper_params_and_other_values
-        }
         leaderboard[metric_name] = (
-            values, deepcopy(hyper_params_and_other_values),
-            deepcopy(scores))
+            {c: metric_values[c] for c in classes},
+            deepcopy(hyper_params_and_other_values),
+            deepcopy(scores),
+        )
     else:
-        minimize = (
-            minimize[metric_name] if isinstance(minimize, dict)
-            else (metric_name in minimize)
-            if isinstance(minimize, (list, tuple)) else minimize)
-        sign = -1 if minimize else 1
-        for event_class in hyper_params_and_other_values:
-            value = metric_values[event_class]
-            if sign * value >= sign * leaderboard[metric_name][0][
-                    event_class]:
-                leaderboard[metric_name][0][event_class] = value
-                leaderboard[metric_name][1][event_class].update(
-                    hyper_params_and_other_values[event_class])
-                for audio_id in leaderboard[metric_name][2]:
-                    leaderboard[metric_name][2][audio_id][event_class] = \
-                        scores[audio_id][event_class]
-    leaderboard[metric_name][0]['macro_average'] = float(np.mean([
-        leaderboard[metric_name][0][event_class]
-        for event_class in hyper_params_and_other_values
-    ]))
+        descending = _lower_is_better(minimize, metric_name)
+        best_values, best_params, best_scores = leaderboard[metric_name]
+        for c in classes:
+            incumbent, candidate = best_values[c], metric_values[c]
+            wins = (candidate <= incumbent if descending
+                    else candidate >= incumbent)
+            if not wins:
+                continue
+            best_values[c] = candidate
+            best_params[c].update(hyper_params_and_other_values[c])
+            for clip_id in best_scores:
+                best_scores[clip_id][c] = scores[clip_id][c]
+    best_values = leaderboard[metric_name][0]
+    best_values['macro_average'] = float(
+        np.mean([best_values[c] for c in classes]))
     return leaderboard
 
 

@@ -247,14 +247,23 @@ class CNN2d(nn.Module, Configurable):
         pre-lift buffer."""
         if not self.use_pallas or x.ndim != 4:
             return None
-        if self.norm != 'batch' or self.dropout > 0:
-            return None
-        if any(r is not None for r in residuals):
-            return None
         from pb_sed_tpu.ops.pallas import conv as pconv
         from pb_sed_tpu.ops.rnn import _pallas_enabled
         enabled, interpret = _pallas_enabled()
         if not enabled or pconv.pltpu is None:
+            return None
+        from pb_sed_tpu.ops.fallback import note_fallback
+        if self.norm != 'batch' or self.dropout > 0:
+            note_fallback(
+                'the packed Pallas conv tower',
+                f'norm={self.norm!r}/dropout={self.dropout} — the tower '
+                f'packs batch-norm towers without dropout only')
+            return None
+        if any(r is not None for r in residuals):
+            note_fallback(
+                'the packed Pallas conv tower',
+                'residual_connections configured — the packed layout '
+                'does not carry residual skips yet')
             return None
         n = len(self.out_channels)
         t, f, cin = x.shape[1], x.shape[2], x.shape[3]
@@ -294,6 +303,11 @@ class CNN2d(nn.Module, Configurable):
             f = -(-f // pf_)
             t = -(-t // pt_)
         if pack_at is None or n - pack_at < 2:
+            note_fallback(
+                'the packed Pallas conv tower',
+                'no packable layer suffix of length >= 2 (needs odd '
+                '>1x1 kernels, 16-multiple channels, freq-only pools '
+                'in {1, 2} and a shared lane stride)')
             return None
         return pack_at, geoms, interpret, entry_pad
 

@@ -107,12 +107,18 @@ class GRULayer(nn.Module):
         xw = self.project(x)
         if h0 is None:
             h0 = jnp.zeros((b, hdim), dtype=jnp.float32)
-        if self.use_pallas and hdim <= PALLAS_MAX_HIDDEN:
+        if self.use_pallas:
             enabled, interpret = _pallas_enabled()
-            if enabled:
+            if enabled and hdim <= PALLAS_MAX_HIDDEN:
                 from pb_sed_tpu.ops.pallas.gru import gru_scan
                 return gru_scan(xw[None], self.w_hh[None],
                                 self.b_hh[None], h0[None], interpret)[0]
+            if enabled:
+                from pb_sed_tpu.ops.fallback import note_fallback
+                note_fallback(
+                    'the Pallas GRU recurrence',
+                    f'hidden_size={hdim} exceeds PALLAS_MAX_HIDDEN='
+                    f'{PALLAS_MAX_HIDDEN} (backward-kernel VMEM gate)')
         w_hh_c = self.w_hh.astype(jnp.bfloat16)
         b_hh = self.b_hh
 
@@ -164,14 +170,20 @@ class BiGRULayer(nn.Module):
             w_ih.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32) + b_ih[:, None]
         h0 = jnp.zeros((2, b, hdim), dtype=jnp.float32)
-        if self.use_pallas and hdim <= PALLAS_MAX_HIDDEN:
+        if self.use_pallas:
             enabled, interpret = _pallas_enabled()
-            if enabled:
+            if enabled and hdim <= PALLAS_MAX_HIDDEN:
                 from pb_sed_tpu.ops.pallas.gru import gru_scan
                 ys2 = gru_scan(xw, w_hh, b_hh[:, 0], h0, interpret)
                 fwd = ys2[0]
                 bwd = reverse_sequence(ys2[1], seq_len, axis=1)
                 return jnp.concatenate([fwd, bwd], axis=-1)
+            if enabled:
+                from pb_sed_tpu.ops.fallback import note_fallback
+                note_fallback(
+                    'the Pallas bidirectional GRU recurrence',
+                    f'hidden_size={hdim} exceeds PALLAS_MAX_HIDDEN='
+                    f'{PALLAS_MAX_HIDDEN} (backward-kernel VMEM gate)')
         w_hh_c = w_hh.astype(jnp.bfloat16)
 
         def step(h, xw_t):  # h: (2, B, H), xw_t: (2, B, 3H)

@@ -297,6 +297,7 @@ def test_fetcher_buckets_fixed_shapes():
     ds = lazy.from_list(examples)
     fetcher = DataFetcher(
         prefetch_workers=0, batch_size=4, pad_to_multiple=8,
+        max_padding_rate=None,  # pure palette; rate-hardness tested below
         drop_incomplete=False,
         stft={'shift': 80, 'window_length': 240, 'size': 256})
     batches = list(fetcher(ds))
@@ -304,12 +305,52 @@ def test_fetcher_buckets_fixed_shapes():
     assert seen == 40
     shapes = {b['audio_data'].shape[-1] for b in batches}
     # palette: few distinct shapes, all matching frames_to_samples grid
+    from pb_sed_tpu.data.bucketing import palette_length
     for b in batches:
         t = b['audio_data'].shape[-1]
         frames = b['seq_len'].max()
-        t_pad = -(-int(frames) // 8) * 8
+        t_pad = palette_length(int(frames), 8, fetcher.max_padding_rate)
         assert t == stft.num_samples_for_frames(t_pad)
     assert len(shapes) <= 6
+
+
+def test_palette_max_padding_rate_is_hard():
+    """No example may exceed max_padding_rate (the reference treats it
+    as a hard constraint, ``pb_sed/data_preparation/fetcher.py:38-51``);
+    short sequences get finer palette rungs instead of a warning.
+    Regression: seq_len=50 at multiple 8 used to pad to 56 (rate 0.107
+    > 0.1) with only a RuntimeWarning."""
+    from pb_sed_tpu.data.bucketing import palette_length
+    for p in (0.05, 0.1, 0.2):
+        for m in (8, 64):
+            for seq_len in list(range(1, 200)) + [450, 500, 1000, 4999]:
+                rung = palette_length(seq_len, m, p)
+                assert rung >= seq_len
+                assert rung % 1 == 0
+                assert (rung - seq_len) / rung <= p, (seq_len, m, p, rung)
+    # long sequences still land on the coarse multiple (program count)
+    assert palette_length(5000, 64, 0.05) == 5056
+    assert palette_length(50, 8, 0.1) in (50, 52)
+    # rate respected at the regression length
+    rung = palette_length(50, 8, 0.1)
+    assert (rung - 50) / rung <= 0.1
+    # bucketer end-to-end: seq_len=50 examples batch at a legal rung
+    examples = [{
+        'example_id': f'e{i}', 'dataset': 'd',
+        'audio_data': np.zeros(50 * 80, np.float32),
+        'seq_len': 50, 'seq_len_samples': 50 * 80,
+        'weak_targets': np.zeros(3, np.float32),
+    } for i in range(4)]
+    fetcher = DataFetcher(
+        prefetch_workers=0, batch_size=4, pad_to_multiple=8,
+        max_padding_rate=0.1,
+        stft={'shift': 80, 'window_length': 240, 'size': 256})
+    import warnings as _warnings
+    with _warnings.catch_warnings():
+        _warnings.simplefilter('error')
+        (batch,) = list(fetcher(lazy.from_list(examples)))
+    t = batch['weak_targets'].shape  # (B, K); strong pads to rung
+    assert t == (4, 3)
 
 
 def test_fetcher_dataset_quota():

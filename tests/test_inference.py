@@ -271,3 +271,47 @@ def test_stacked_ensemble_on_mesh(setup):
     y1_odd, _ = models[1].tagging(odd)
     assert y_odd.shape[0] == 3 and np.shape(seq_len_odd)[0] == 3
     np.testing.assert_allclose(y_odd, (y0_odd + y1_odd) / 2, atol=2e-5)
+
+
+def test_update_leaderboard_semantics():
+    """Per-class fold semantics (reference contract,
+    ``pb_sed/models/base/tuning.py:13-47``): tie-or-better wins, the
+    class's hyper-params absorb the winner, the stored scores become a
+    per-class mosaic, macro_average tracks the value dict, and
+    ``minimize`` works as bool / collection / per-metric dict."""
+    import pandas as pd
+    from pb_sed_tpu.models.base.tuning import update_leaderboard
+
+    def point(a, b, tag):
+        values = {'cat': a, 'dog': b}
+        params = {'cat': {'filt': tag}, 'dog': {'filt': tag}}
+        scores = {'clip1': pd.DataFrame(
+            {'onset': [0.], 'offset': [1.],
+             'cat': [float(a)], 'dog': [float(b)]})}
+        return values, params, scores
+
+    lb = {}
+    update_leaderboard(lb, 'f', *point(.5, .2, 'first'))
+    assert lb['f'][0] == {'cat': .5, 'dog': .2, 'macro_average': .35}
+    # cat improves, dog regresses -> only cat's column/params move
+    update_leaderboard(lb, 'f', *point(.7, .1, 'second'))
+    assert lb['f'][0]['cat'] == .7 and lb['f'][0]['dog'] == .2
+    assert lb['f'][1] == {'cat': {'filt': 'second'},
+                          'dog': {'filt': 'first'}}
+    assert lb['f'][2]['clip1']['cat'].iloc[0] == .7
+    assert lb['f'][2]['clip1']['dog'].iloc[0] == .2
+    assert np.isclose(lb['f'][0]['macro_average'], .45)
+    # ties update (the reference keeps the LATEST tying grid point)
+    update_leaderboard(lb, 'f', *point(.7, .2, 'tie'))
+    assert lb['f'][1]['cat'] == {'filt': 'tie'}
+    # minimize as collection and as dict
+    lb2 = {}
+    update_leaderboard(lb2, 'er', *point(.5, .5, 'a'), minimize=['er'])
+    update_leaderboard(lb2, 'er', *point(.3, .9, 'b'), minimize=['er'])
+    assert lb2['er'][0]['cat'] == .3 and lb2['er'][0]['dog'] == .5
+    lb3 = {}
+    update_leaderboard(lb3, 'er', *point(.5, .5, 'a'),
+                       minimize={'er': True})
+    update_leaderboard(lb3, 'er', *point(.9, .1, 'b'),
+                       minimize={'er': True})
+    assert lb3['er'][0] == {'cat': .5, 'dog': .1, 'macro_average': .3}

@@ -122,30 +122,40 @@ def _run_pallas_wiring_check():
 def test_use_pallas_gates_on_hidden_size():
     """hidden_size > PALLAS_MAX_HIDDEN cannot fit the backward kernel's
     scoped-VMEM budget (measured on v5e, ops/pallas/gru.py:_bwd_blocks);
-    use_pallas must silently take the scan path there — bit-exact
-    equality proves the kernel (bf16 drift) was NOT selected even in
-    force_interpret mode."""
+    use_pallas must take the scan path there — bit-exact equality proves
+    the kernel (bf16 drift) was NOT selected even in force_interpret
+    mode — and the fallback must be SURFACED (one-time warning +
+    fallback record), not silent (round-3 review weak #7)."""
+    import warnings
+    from pb_sed_tpu.ops import fallback as fb
     from pb_sed_tpu.ops import rnn as rnn_mod
     from pb_sed_tpu.ops.rnn import StackedGRU, PALLAS_MAX_HIDDEN
-    assert PALLAS_MAX_HIDDEN == 256
     h = PALLAS_MAX_HIDDEN + 64
     rng = np.random.RandomState(8)
     x = jnp.asarray(rng.randn(2, 12, 8).astype(np.float32))
     seq_len = jnp.asarray([12, 9])
     rnn_mod.set_pallas_mode('force_interpret')
+    fb.reset()
     try:
         for bidi in (False, True):
             scan_gru = StackedGRU(hidden_size=h, num_layers=1,
                                   bidirectional=bidi)
             variables = scan_gru.init(jax.random.PRNGKey(2), x, seq_len)
             y_scan = scan_gru.apply(variables, x, seq_len)
-            y_gated = StackedGRU(
-                hidden_size=h, num_layers=1, bidirectional=bidi,
-                use_pallas=True).apply(variables, x, seq_len)
+            with warnings.catch_warnings(record=True) as caught:
+                warnings.simplefilter('always')
+                y_gated = StackedGRU(
+                    hidden_size=h, num_layers=1, bidirectional=bidi,
+                    use_pallas=True).apply(variables, x, seq_len)
             np.testing.assert_array_equal(
                 np.asarray(y_gated), np.asarray(y_scan))
+            assert any('PALLAS_MAX_HIDDEN' in str(w.message)
+                       for w in caught), [str(w.message) for w in caught]
+        assert any('PALLAS_MAX_HIDDEN' in reason
+                   for _, reason in fb.fallback_records())
     finally:
         rnn_mod.set_pallas_mode('auto')
+        fb.reset()
 
 
 @pytest.mark.skipif(jax.default_backend() != 'tpu',
