@@ -114,9 +114,9 @@ def _fwd_blocks(d, h, b):
 
 
 def _bwd_blocks(d, h, b):
-    """(block_b, block_t) for the backward kernel: FIVE streamed slabs
-    (~26*d*h bytes per (b, t) cell — the direction fold streams ALL
-    directions per grid step) PLUS the revisited dw_hh block, which
+    """(block_b, block_t) for the FUSED backward kernel: FIVE streamed
+    slabs (~26*d*h bytes per (b, t) cell — the direction fold streams
+    ALL directions per grid step) PLUS the revisited dw_hh block, which
     scales d*h*3h (h^2!) — at D=1, H=512 that block alone is 3.1 MB
     and block_t=16 overflowed scoped VMEM by 5.57 MB (measured on
     v5e). Anchors: (32, 16) fits D=1 H=256; D=2 H=256 needs (32, 8)
@@ -127,10 +127,37 @@ def _bwd_blocks(d, h, b):
     # (16, 8) measured 48 KB over at D=1, H=512, (8, 8) paradoxically
     # 1.12 MB over (allocator fixed structures grow non-monotonically),
     # and block_t < 8 is illegal (time is the second-minor dim, which
-    # Mosaic requires 8-divisible). ops/rnn.py therefore gates the
-    # kernels to h <= PALLAS_MAX_HIDDEN and larger recipes take the
-    # scan path; these blocks remain for explicit/forced use.
+    # Mosaic requires 8-divisible). The SPLIT backward variant
+    # (:func:`_gru_bwd_split_kernel`) therefore handles h > 256; these
+    # blocks remain for explicit/forced use of the fused kernel.
     return min(16, b), 8
+
+
+def _bwd_split_blocks(d, h, b):
+    """(block_b, block_t) for the SPLIT backward kernel, which has NO
+    revisited dw_hh block (the weight-gradient contraction runs outside
+    the kernel): the footprint is six streamed slabs (~20*d*h bytes per
+    (b, t) cell, double-buffered — xw/dxw bf16 3H, h_prev/r bf16 H,
+    g f32 H) plus the two (h, d*3h)-class bf16 weight stacks. Dropping
+    the h^2 accumulator both admits H=512 and doubles the legal
+    block_t at H=256 (fewer grid steps on the sequential sweep).
+
+    Calibration (v5e, scripts/perf/gru_bwd_block_probe.py): the real
+    scoped-VMEM footprint exceeds the slabs+weights model by loop
+    temporaries + Mosaic fixed structures that grow with d*h —
+    measured compile/fail points:
+
+      d*h = 512  (D=2, H=256): (32, 16) fits (~15.4 MB; the two-
+                 weight-stack variant was 148 KB over, hence w_t-free)
+      d*h = 1024 (D=2, H=512): (16, 16) 3 MB over, (16, 8) 1.8 MB
+                 over, (8, 8) fits (2.94 ms vs scan ~4.9 ms)
+    """
+    dh = d * h
+    if dh <= 512:
+        return min(32, b), 16
+    if dh <= 768:
+        return min(16, b), 16
+    return min(8, b), 8
 
 
 def _to_tm(xw):
@@ -316,8 +343,101 @@ def _gru_bwd_kernel(xw_ref, hprev_ref, wcat_ref, wt_ref, b_hh_ref,
         dh0_ref[:] = dh_scratch[:].reshape(d, bb, hidden)
 
 
+def _gru_bwd_split_kernel(xw_ref, hprev_ref, wcat_ref, b_hh_ref,
+                          g_ref, dxw_ref, r_ref, dh0_ref, dh_scratch, *,
+                          t_block, hidden, d):
+    """SPLIT-variant reverse sweep: like :func:`_gru_bwd_kernel` but
+    WITHOUT the in-kernel dw_hh/db_hh accumulation — the revisited
+    (h, d*3h) f32 accumulator scales h^2 and is what locks the fused
+    kernel out of H=512's VMEM budget (measured: 48 KB over at the
+    smallest legal blocking). Instead the kernel emits the recomputed
+    reset gate ``r`` (the only gate value the outside contraction
+    cannot recover from dxw alone: dgates_n = dxw_n * r), and the
+    wrapper computes
+
+        dw_hh[d] = sum_{t,b} h_prev[d,t,b,:] (x) dgates[d,t,b,:]
+        db_hh[d] = sum_{t,b} dgates[d,t,b,:]
+
+    as ONE big XLA matmul over the (T*B) axis — embarrassingly MXU
+    -friendly, no recurrence. The freed VMEM also doubles the legal
+    block_t at flagship size (H=256, D=2: 16 vs the fused kernel's 8).
+
+    The transposed weight stack w_t is also dropped: dh's matmul
+    contracts the D*3H axis of the block-diagonal dgates against
+    w_cat's COLUMNS (an NT-form dot_general), which is exactly each
+    direction's dgates @ w_hh[d]^T — one (h, d*3h) bf16 weight block
+    in VMEM instead of two (the second block was the 148 KB-over
+    margin at H=256 block_t=16, measured on v5e)."""
+    t_idx = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(t_idx == 0)
+    def _reset_carry():
+        dh_scratch[:] = jnp.zeros_like(dh_scratch)
+
+    w_cat = wcat_ref[:]      # (H, D*3H) bf16
+    bb = hprev_ref.shape[2]
+    b_rows = jnp.broadcast_to(
+        b_hh_ref[:], (d, bb, 3 * hidden)).reshape(d * bb, 3 * hidden)
+
+    def body(k, dh):
+        t = t_block - 1 - k
+        h_prev_c = hprev_ref[:, t, :, :].reshape(d * bb, hidden)
+        h_prev = h_prev_c.astype(jnp.float32)
+        xw_t = xw_ref[:, t, :, :].reshape(
+            d * bb, 3 * hidden).astype(jnp.float32)
+        hw_cat = jnp.dot(h_prev_c, w_cat,
+                         preferred_element_type=jnp.float32)
+        hw = jnp.concatenate(
+            [hw_cat[di * bb:(di + 1) * bb,
+                    di * 3 * hidden:(di + 1) * 3 * hidden]
+             for di in range(d)], axis=0) + b_rows
+        xr = xw_t[:, :hidden]
+        xz = xw_t[:, hidden:2 * hidden]
+        xn = xw_t[:, 2 * hidden:]
+        hr = hw[:, :hidden]
+        hz = hw[:, hidden:2 * hidden]
+        hn = hw[:, 2 * hidden:]
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+
+        g_t = g_ref[:, :, t, :].reshape(d * bb, hidden)
+        dh_total = g_t.astype(jnp.float32) + dh
+        dz = dh_total * (h_prev - n) * z * (1. - z)
+        dpre_n = dh_total * (1. - z) * (1. - n * n)
+        dpre_r = dpre_n * hn * r * (1. - r)
+        dxw = jnp.concatenate([dpre_r, dz, dpre_n], axis=-1)
+        dxw_ref[:, t, :, :] = dxw.astype(dxw_ref.dtype).reshape(
+            d, bb, 3 * hidden)
+        r_ref[:, t, :, :] = r.astype(r_ref.dtype).reshape(d, bb, hidden)
+        dgates_h = jnp.concatenate(
+            [dpre_r, dz, dpre_n * r], axis=-1)  # (D*B, 3H)
+        dgates_c = dgates_h.astype(jnp.bfloat16)
+        if d == 1:
+            dgates_wide = dgates_c
+        else:
+            dgates_wide = jnp.concatenate([
+                jnp.pad(dgates_c[di * bb:(di + 1) * bb],
+                        ((0, 0), (di * 3 * hidden,
+                                  (d - 1 - di) * 3 * hidden)))
+                for di in range(d)], axis=0)
+        # (D*B, D*3H) x (H, D*3H) contracted on dim 1 of both ==
+        # per-direction dgates @ w_hh[d]^T (w_t-free, see docstring)
+        return dh_total * z + jax.lax.dot_general(
+            dgates_wide, w_cat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dh_scratch[:] = jax.lax.fori_loop(
+        0, t_block, body, dh_scratch[:])
+
+    @pl.when(t_idx == nt - 1)
+    def _write_dh0():
+        dh0_ref[:] = dh_scratch[:].reshape(d, bb, hidden)
+
+
 def _gru_scan_pallas_bwd(xw_tm, w_hh, b_hh, h0, y, g, interpret=False,
-                         block_b=None, block_t=None):
+                         block_b=None, block_t=None, split=None):
     """Backward pass as one Pallas kernel launch.
 
     ``xw_tm`` is the forward kernel's OWN (D, T, B, 3H) bf16 input — the
@@ -331,7 +451,13 @@ def _gru_scan_pallas_bwd(xw_tm, w_hh, b_hh, h0, y, g, interpret=False,
     """
     d, t, b, three_h = xw_tm.shape
     h = three_h // 3
-    auto_b, auto_t = _bwd_blocks(d, h, b)
+    if split is None:
+        # the split variant is both the ONLY one fitting VMEM at
+        # h > 256 and measured faster at h = 256 (bigger block_t,
+        # no h^2 accumulator in the sweep)
+        split = True
+    auto_b, auto_t = (_bwd_split_blocks if split
+                      else _bwd_blocks)(d, h, b)
     block_b = auto_b if block_b is None else min(block_b, b)
     block_t = auto_t if block_t is None else block_t
     block_t = min(block_t, t)
@@ -356,8 +482,6 @@ def _gru_scan_pallas_bwd(xw_tm, w_hh, b_hh, h0, y, g, interpret=False,
     bb = b + b_pad
     nt = tt // block_t
     grid = (bb // block_b, nt)
-    kernel = functools.partial(
-        _gru_bwd_kernel, t_block=block_t, hidden=h, d=d)
     # time blocks are visited in REVERSE (the recurrence runs backward)
     rev = lambda bi, ti: (0, bi, nt - 1 - ti, 0)
     rev_tm = lambda bi, ti: (0, nt - 1 - ti, bi, 0)
@@ -366,31 +490,75 @@ def _gru_scan_pallas_bwd(xw_tm, w_hh, b_hh, h0, y, g, interpret=False,
         pl.BlockSpec((d, block_t, block_b, three_h), rev_tm),     # xw
         pl.BlockSpec((d, block_t, block_b, h), rev_tm),           # h_prev
         pl.BlockSpec((h, d * three_h), fixed2),                   # w_cat
-        pl.BlockSpec((d * three_h, h), fixed2),                   # wT_stack
         pl.BlockSpec((d, 1, three_h), lambda bi, ti: (0, 0, 0)),
         pl.BlockSpec((d, block_b, block_t, h), rev),              # g
     ]
+    if pltpu is None:  # pragma: no cover
+        raise RuntimeError('pallas TPU support unavailable')
+    # (D, H, 3H) -> (H, D*3H) bf16 weight stack (forward fold layout)
+    w_cat = jnp.swapaxes(w_hh, 0, 1).reshape(
+        h, d * three_h).astype(jnp.bfloat16)
+    args = (xw_tm, h_prev, w_cat,
+            b_hh.reshape(d, 1, three_h).astype(jnp.float32),
+            g.astype(jnp.float32))
+    scratch = [pltpu.VMEM((d * block_b, h), jnp.float32)]
+    # dxw ships bf16: it only ever feeds bf16 MXU matmuls downstream
+    # (dx = dxw @ w_ih^T, dw_ih = x^T @ dxw), and f32 was half the
+    # kernel's HBM write traffic
+    if split:
+        kernel = functools.partial(
+            _gru_bwd_split_kernel, t_block=block_t, hidden=h, d=d)
+        dxw, r, dh0 = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((d, block_t, block_b, three_h), rev_tm),
+                pl.BlockSpec((d, block_t, block_b, h), rev_tm),
+                pl.BlockSpec((d, block_b, h),
+                             lambda bi, ti: (0, bi, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((d, tt, bb, three_h),
+                                     jnp.bfloat16),
+                jax.ShapeDtypeStruct((d, tt, bb, h), jnp.bfloat16),
+                jax.ShapeDtypeStruct((d, bb, h), jnp.float32),
+            ],
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*args)
+        # outside weight-gradient contraction over (T*B) — padded rows
+        # contribute exactly zero (dxw is zero wherever g was padded).
+        # In interpret mode (CPU tests) the operands upcast to f32:
+        # the CPU backend cannot lower bf16 x bf16 -> f32 dots, and
+        # bf16-rounded values in f32 are bit-equivalent.
+        dgates = jnp.concatenate(
+            [dxw[..., :2 * h], dxw[..., 2 * h:] * r], axis=-1)
+        mm = jnp.float32 if interpret else jnp.bfloat16
+        dw_hh = jnp.einsum('dtbh,dtbg->dhg', h_prev.astype(mm),
+                           dgates.astype(mm),
+                           preferred_element_type=jnp.float32)
+        db_hh = jnp.sum(dgates.astype(jnp.float32), axis=(1, 2))
+        return (jnp.swapaxes(dxw, 1, 2)[:, :b, :t, :], dw_hh,
+                db_hh, dh0[:, :b])
+    kernel = functools.partial(
+        _gru_bwd_kernel, t_block=block_t, hidden=h, d=d)
     out_specs = [
         pl.BlockSpec((d, block_t, block_b, three_h), rev_tm),     # dxw
         pl.BlockSpec((h, d * three_h), fixed2),
         pl.BlockSpec((1, d * three_h), fixed2),
         pl.BlockSpec((d, block_b, h), lambda bi, ti: (0, bi, 0)),
     ]
-    if pltpu is None:  # pragma: no cover
-        raise RuntimeError('pallas TPU support unavailable')
-    # (D, H, 3H) -> (H, D*3H) / (D*3H, H) bf16 weight stacks (forward
-    # fold layout + its transpose)
-    w_cat = jnp.swapaxes(w_hh, 0, 1).reshape(
-        h, d * three_h).astype(jnp.bfloat16)
+    # the fused kernel additionally ships the transposed weight stack
     w_t = jnp.swapaxes(w_hh, 1, 2).reshape(
         d * three_h, h).astype(jnp.bfloat16)
-    # dxw ships bf16: it only ever feeds bf16 MXU matmuls downstream
-    # (dx = dxw @ w_ih^T, dw_ih = x^T @ dxw), and f32 was half the
-    # kernel's HBM write traffic
+    in_specs_f = in_specs[:3] + [
+        pl.BlockSpec((d * three_h, h), fixed2)] + in_specs[3:]
+    args_f = args[:3] + (w_t,) + args[3:]
     dxw, dw_cat, db_cat, dh0 = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=in_specs,
+        in_specs=in_specs_f,
         out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((d, tt, bb, three_h), jnp.bfloat16),
@@ -398,11 +566,9 @@ def _gru_scan_pallas_bwd(xw_tm, w_hh, b_hh, h0, y, g, interpret=False,
             jax.ShapeDtypeStruct((1, d * three_h), jnp.float32),
             jax.ShapeDtypeStruct((d, bb, h), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((d * block_b, h), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(xw_tm, h_prev, w_cat, w_t,
-      b_hh.reshape(d, 1, three_h).astype(jnp.float32),
-      g.astype(jnp.float32))
+    )(*args_f)
     # (H, D*3H) column blocks -> (D, H, 3H); dxw T-major -> caller's
     # (D, B, T, 3H) (XLA folds the transpose into the consuming dots)
     dw_hh = jnp.moveaxis(

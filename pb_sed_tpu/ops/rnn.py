@@ -30,11 +30,11 @@ _SCAN_UNROLL = 8  # amortize TPU loop overhead over several timesteps
 _PALLAS_MODE = 'auto'  # 'auto' | 'force_interpret' (tests) | 'off'
 
 # the hand-written kernels' VMEM blocking fits the 16 MB scoped budget
-# up to the flagship hidden size; larger recurrences (the 'deep' width-2
-# recipes at H=512) take the scan path — measured on v5e: H=512 backward
-# lands 48 KB over the limit at the smallest legal blocking
-# (ops/pallas/gru.py:_bwd_blocks)
-PALLAS_MAX_HIDDEN = 256
+# up to the deep width-2 recipes' H=512 (the SPLIT backward variant,
+# ops/pallas/gru.py:_gru_bwd_split_kernel — the fused backward's h^2
+# dw accumulator caps out at H=256); larger recurrences take the scan
+# path (ops/pallas/gru.py:_bwd_split_blocks calibration)
+PALLAS_MAX_HIDDEN = 512
 
 
 def set_pallas_mode(mode):

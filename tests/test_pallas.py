@@ -202,6 +202,36 @@ def test_gru_backward_multiblock_accumulation():
     _assert_close_bf16(dh0, dh0_r)
 
 
+def test_gru_backward_split_matches_fused_and_reference():
+    """The SPLIT backward (weight-gradient contraction outside the
+    kernel — the only variant fitting scoped VMEM at H=512, and the
+    faster one at H=256: 1.81 vs 2.17 ms fwd+grad on v5e) must match
+    the fused kernel bit-exactly on dxw/dh0 (identical sweep math) and
+    the reference VJP within bf16 tolerance on all four grads."""
+    from pb_sed_tpu.ops.pallas.gru import (
+        _gru_scan_pallas, _gru_scan_pallas_bwd, _gru_scan_reference_d,
+        _to_tm)
+    for d, b, t, h, seed in ((2, 5, 21, 16, 11), (1, 4, 11, 8, 12)):
+        xw, w_hh, b_hh, h0 = make_inputs(d=d, b=b, t=t, h=h, seed=seed)
+        y = _gru_scan_pallas(xw, w_hh, b_hh, h0, interpret=True,
+                             block_b=4, block_t=8)
+        rng = np.random.RandomState(seed + 50)
+        g = jnp.asarray(rng.randn(*y.shape).astype(np.float32))
+        out_s = _gru_scan_pallas_bwd(
+            _to_tm(xw), w_hh, b_hh, h0, y, g, interpret=True,
+            block_b=4, block_t=8, split=True)
+        out_f = _gru_scan_pallas_bwd(
+            _to_tm(xw), w_hh, b_hh, h0, y, g, interpret=True,
+            block_b=4, block_t=8, split=False)
+        np.testing.assert_array_equal(
+            np.asarray(out_s[0]), np.asarray(out_f[0]))  # dxw
+        np.testing.assert_array_equal(
+            np.asarray(out_s[3]), np.asarray(out_f[3]))  # dh0
+        _, vjp = jax.vjp(_gru_scan_reference_d, xw, w_hh, b_hh, h0)
+        for got, ref in zip(out_s, vjp(g)):
+            _assert_close_bf16(got, ref)
+
+
 def test_gru_backward_partial_batch_block():
     """Regression: out-of-bounds rows of a partial batch block used to
     leak into the dw_hh/db_hh accumulation matmuls; the batch is now
