@@ -61,17 +61,37 @@ class Conv2dMXU(nn.Module):
         bias = self.param('bias', nn.initializers.zeros_init(),
                           (self.features,))
         if packed is not None:
-            from pb_sed_tpu.ops.pallas.conv import conv2d_packed_fm
+            from pb_sed_tpu.ops.pallas.conv import (conv2d_packed_fm,
+                                                    lane_mask)
             from pb_sed_tpu.ops.rnn import _pallas_enabled
             _, interpret = _pallas_enabled()
             w = kernel
-            if packed is not None and x.shape[1] > cin:
+            if x.shape[1] > cin:
                 # zero-padded input channels contribute exactly zero;
                 # autodiff slices dw back to the real channels via the
                 # pad transpose
                 w = jnp.pad(
                     kernel, ((0, 0), (0, 0), (0, x.shape[1] - cin),
                              (0, 0)))
+            if kt == kf == 1:
+                # 1x1 conv on the packed layout: channel mixing only —
+                # ONE bf16 matmul over the (huge) lane axis, no patch
+                # or halo; the mask zeroes the bias leak into the
+                # structural slots so the buffer stays a valid packed
+                # input for the next conv (deep recipe's alternating
+                # 3x3/1x1 stack, reference training.py:166-171)
+                # interpret mode (CPU tests): the CPU backend cannot
+                # lower bf16 x bf16 -> f32 dots; f32 operands carrying
+                # bf16-rounded values are bit-equivalent
+                mm = jnp.float32 if interpret else jnp.bfloat16
+                y = jnp.einsum(
+                    'bil,io->bol',
+                    x.astype(jnp.bfloat16).astype(mm),
+                    w[0, 0].astype(jnp.bfloat16).astype(mm),
+                    preferred_element_type=jnp.float32)
+                y = ((y + bias.astype(jnp.float32)[:, None])
+                     * lane_mask(packed, jnp.float32))
+                return y.astype(jnp.bfloat16)
             return conv2d_packed_fm(x, w, bias, packed, interpret)
         if self.use_pallas and kt % 2 == 1 and kf % 2 == 1 \
                 and kt * kf > 1:
@@ -189,29 +209,55 @@ def _pool2d(x, pool):
     return nn.max_pool(x, window_shape=(pt, pf), strides=(pt, pf))
 
 
-def _match_residual(res, x):
-    """Adapt a saved residual to ``x``: average-pool mismatched T/F dims
-    and zero-pad grown channel counts (identity skips across the deep
-    config's channel-doubling boundaries, reference residual lists at
-    ``training.py:171-178``)."""
-    if res.shape == x.shape:
+def _match_residual(res, shape):
+    """Adapt a saved residual to target ``shape``: average-pool
+    mismatched T/F dims and zero-pad grown channel counts (identity
+    skips across the deep config's channel-doubling boundaries,
+    reference residual lists at ``training.py:171-178``)."""
+    if res.shape == tuple(shape):
         return res
     if res.ndim == 4:
-        st = res.shape[1] // x.shape[1] or 1
-        sf = res.shape[2] // x.shape[2] or 1
+        st = res.shape[1] // shape[1] or 1
+        sf = res.shape[2] // shape[2] or 1
         if st > 1 or sf > 1:
             res = nn.avg_pool(res, window_shape=(st, sf),
                               strides=(st, sf))
     else:
-        st = res.shape[1] // x.shape[1] or 1
+        st = res.shape[1] // shape[1] or 1
         if st > 1:
             res = nn.avg_pool(res, window_shape=(st,), strides=(st,))
-    grow = x.shape[-1] - res.shape[-1]
-    assert grow >= 0, (res.shape, x.shape)
+    grow = shape[-1] - res.shape[-1]
+    assert grow >= 0, (res.shape, shape)
     if grow:
         width = [(0, 0)] * (res.ndim - 1) + [(0, grow)]
         res = jnp.pad(res, width)
     return res
+
+
+def _match_residual_packed(entry, f_rows, cx, g, pconv):
+    """Adapt a pending residual entry to a packed use site (rows
+    ``f_rows``, channels ``cx``, geometry ``g``): packed entries
+    average row PAIRS per crossed (2, 1) pool and zero-pad grown
+    channels (same semantics as :func:`_match_residual` on the
+    unpacked layout — rows are freq bins); unpacked entries are
+    matched in 4-D then packed. Returns a float32 packed buffer."""
+    if entry[0] == 'u':
+        res = entry[1]
+        matched = _match_residual(
+            res, (res.shape[0], g.f, f_rows, cx))
+        return pconv.pack_fm(matched, g, jnp.float32)
+    _, r2, rows, gs = entry
+    r = r2.astype(jnp.float32)
+    ts = gs.fs
+    b, c = r.shape[:2]
+    while rows > f_rows:
+        r = r.reshape(b, c, rows // 2, 2, ts).mean(3).reshape(
+            b, c, rows // 2 * ts)
+        rows //= 2
+    assert rows == f_rows, (rows, f_rows)
+    if cx > c:
+        r = jnp.pad(r, ((0, 0), (0, cx - c), (0, 0)))
+    return r
 
 
 class CNN2d(nn.Module, Configurable):
@@ -236,15 +282,23 @@ class CNN2d(nn.Module, Configurable):
     input_height: int = None     # informational
 
     def _packed_plan(self, x, kernels, pools, residuals):
-        """Freq-major packed-tower plan: (pack_at, {i: geom}, interpret,
-        entry_pad) or None when the configuration or backend requires
-        the unpacked XLA path. Supported from the pack layer on: batch
-        norm, dropout 0, no residuals, odd >1x1 kernels, 16-multiple
-        channels, freq-only pools in {1, 2} and a shared lane stride.
-        The ENTRY layer may additionally have Cin < 16 (the cin=1
-        feature lift): its input is zero-padded to 16 channels AFTER
-        packing (entry_pad), which keeps the big relayout on the tiny
-        pre-lift buffer."""
+        """Freq-major packed-tower plan: (pack_at, unpack_at, {i: geom},
+        interpret, entry_pad) or None when the configuration or backend
+        requires the unpacked XLA path.
+
+        The plan is a contiguous WINDOW [pack_at, unpack_at) of layers
+        run on the packed layout (one pack and one unpack relayout);
+        layers outside the window run the unpacked XLA path. Inside the
+        window: batch norm, dropout 0, odd 3x3-class kernels via the
+        Pallas conv kernels, 1x1 kernels via a masked packed matmul,
+        residual skips carried as packed buffers (row avg-pool +
+        channel zero-pad matching, cnn.py:_match_residual_packed),
+        16-multiple channels, freq-only pools in {1, 2} and a shared
+        lane stride/time-pad. Residuals crossing a window boundary are
+        converted (pack_fm/unpack_fm) at the use site. The ENTRY layer
+        may additionally have Cin < 16 (the cin=1 feature lift): its
+        input is zero-padded to 16 channels AFTER packing (entry_pad),
+        which keeps the big relayout on the tiny pre-lift buffer."""
         if not self.use_pallas or x.ndim != 4:
             return None
         from pb_sed_tpu.ops.pallas import conv as pconv
@@ -259,101 +313,159 @@ class CNN2d(nn.Module, Configurable):
                 f'norm={self.norm!r}/dropout={self.dropout} — the tower '
                 f'packs batch-norm towers without dropout only')
             return None
-        if any(r is not None for r in residuals):
-            note_fallback(
-                'the packed Pallas conv tower',
-                'residual_connections configured — the packed layout '
-                'does not carry residual skips yet')
-            return None
         n = len(self.out_channels)
         t, f, cin = x.shape[1], x.shape[2], x.shape[3]
-        pack_at = None
+        runs = []  # (start, end, geoms, entry_pad, n_pallas)
+        start = None
         geoms = {}
-        ts = None
+        ts = pf_sh = None
         entry_pad = False
+        n_pallas = 0
+
+        def close(end):
+            nonlocal start, geoms, ts, pf_sh, entry_pad, n_pallas
+            if start is not None and n_pallas:
+                runs.append((start, end, geoms, entry_pad, n_pallas))
+            start, geoms, ts, pf_sh = None, {}, None, None
+            entry_pad, n_pallas = False, 0
+
         for i in range(n):
             k = kernels[i]
             kt, kf = (k, k) if not isinstance(k, (tuple, list)) else k
             pf_, pt_ = _pool_fp_tp(pools[i])
             cout = self.out_channels[i]
-            pad_here = pack_at is None and 0 < cin < 16
+            pad_here = start is None and 0 < cin < 16
             cin_eff = 16 if pad_here else cin
-            ok = (
-                kt % 2 == 1 and kf % 2 == 1 and kt * kf > 1
-                and cin_eff % 16 == 0 and cout % 16 == 0
+            common_ok = (
+                cin_eff % 16 == 0 and cout % 16 == 0
                 and pt_ == 1 and pf_ in (1, 2)
-                and (pf_ == 1 or f % 2 == 0)
-                and pconv.fm_supported(t, f, kt, kf, max(cin_eff, cout))
-            )
-            if ok:
-                g = pconv.fm_geom(t, f, kt, kf, max(cin_eff, cout))
-                ok = ts is None or g.fs == ts
-            if ok:
-                if pack_at is None:
-                    pack_at = i
-                    ts = g.fs
+                and (pf_ == 1 or f % 2 == 0))
+            g = None
+            if common_ok and kt % 2 == 1 and kf % 2 == 1 and kt * kf > 1:
+                if pconv.fm_supported(t, f, kt, kf, max(cin_eff, cout),
+                                      cin=cin_eff, cout=cout):
+                    cand = pconv.fm_geom(t, f, kt, kf,
+                                         max(cin_eff, cout),
+                                         cin=cin_eff, cout=cout)
+                    # all window layers must share the lane stride AND
+                    # the in-row lane offset of frame 0 (the pack is
+                    # done once with the first layer's geometry)
+                    if ((ts is None or cand.fs == ts)
+                            and (pf_sh is None or cand.pf == pf_sh)):
+                        g = cand
+            elif common_ok and kt == kf == 1 and ts is not None:
+                # 1x1 conv: a masked packed matmul (no Pallas kernel,
+                # no halo) — the geom only carries the layout fields
+                # for the masks, inheriting the window's lane kernel
+                # so pf matches the packed buffer
+                g = pconv._with_tc(f, t, 1, 2 * pf_sh + 1, f, fs=ts)
+            if g is not None:
+                if start is None:
+                    start = i
                     entry_pad = pad_here
+                if kt * kf > 1:
+                    ts, pf_sh = g.fs, g.pf
+                    n_pallas += 1
                 geoms[i] = g
             else:
-                # only a fully packed SUFFIX is supported (one
-                # pack/unpack boundary): a violation restarts the scan
-                # so the plan keeps the LAST contiguous packable run
-                pack_at, ts, entry_pad, geoms = None, None, False, {}
+                close(i)
             cin = cout
             f = -(-f // pf_)
             t = -(-t // pt_)
-        if pack_at is None or n - pack_at < 2:
+        close(n)
+        if not runs:
             note_fallback(
                 'the packed Pallas conv tower',
-                'no packable layer suffix of length >= 2 (needs odd '
-                '>1x1 kernels, 16-multiple channels, freq-only pools '
-                'in {1, 2} and a shared lane stride)')
+                'no packable layer window of length >= 2 (needs odd '
+                'kernels, 16-multiple channels, freq-only pools in '
+                '{1, 2} and a shared lane stride)')
             return None
-        return pack_at, geoms, interpret, entry_pad
+        start, end, geoms, entry_pad, n_pallas = max(
+            runs, key=lambda r: (r[1] - r[0], r[4]))
+        if end - start < 2:
+            note_fallback(
+                'the packed Pallas conv tower',
+                'no packable layer window of length >= 2 (needs odd '
+                'kernels, 16-multiple channels, freq-only pools in '
+                '{1, 2} and a shared lane stride)')
+            return None
+        if end < n:
+            note_fallback(
+                'the packed Pallas conv tower (partial)',
+                f'layers [{end}, {n}) exceed the backward kernels\' '
+                f'VMEM footprint model and run the unpacked XLA path; '
+                f'[{start}, {end}) run packed')
+        return start, end, geoms, interpret, entry_pad
 
     def _packed_forward(self, x, seq_len, training, plan, kernels,
-                        pools):
-        """Freq-major packed tower: pack once after the unpacked prefix,
-        run BN -> act -> conv -> pool on the packed (B, C, Ls) layout
-        (re-masking structural slots after every affine shift), unpack
-        once. Param/variable tree is identical to the unpacked path.
+                        pools, residuals):
+        """Freq-major packed tower: pack once after the unpacked
+        prefix, run BN -> act -> conv[ -> +residual] -> pool on the
+        packed (B, C, Ls) layout (re-masking structural slots after
+        every affine shift), unpack once, finish any unpacked tail.
+        Param/variable tree is identical to the unpacked path.
 
-        The entry layer's BN/act run unpacked when its input is
-        channel-padded (entry_pad: BN's param size is the REAL channel
-        count, which a packed-BN would mis-size), and the pack relayout
-        runs on the pre-pad buffer (16x smaller at cin=1) with the zero
-        channels appended afterwards."""
+        Residual skips are carried as packed buffers inside the window
+        (row avg-pool + channel zero-pad matching) and converted at the
+        use site when they cross a window boundary. 1x1 convs run as a
+        masked packed matmul (Conv2dMXU). The entry layer's BN/act run
+        unpacked when its input is channel-padded (entry_pad: BN's
+        param size is the REAL channel count, which a packed-BN would
+        mis-size), and the pack relayout runs on the pre-pad buffer
+        (16x smaller at cin=1) with the zero channels appended
+        afterwards."""
         from pb_sed_tpu.ops.pallas import conv as pconv
-        pack_at, geoms, interpret, entry_pad = plan
+        pack_at, unpack_at, geoms, interpret, entry_pad = plan
         act = _act(self.activation_fn)
         norm_kwargs = self.norm_kwargs or {}
         n = len(self.out_channels)
-        for i in range(pack_at):  # unpacked prefix (no residuals by plan)
-            is_output = self.output_layer and i == n - 1
-            h = x
-            if self.pre_activation and not is_output:
-                h = MaskedBatchNorm(**norm_kwargs, name=f'norm_{i}')(
-                    h, seq_len, training)
-                h = act(h)
-            k = kernels[i]
-            kt, kf = (k, k) if not isinstance(k, (tuple, list)) else k
-            h = Conv2dMXU(self.out_channels[i], kernel_size=(kt, kf),
-                          name=f'conv_{i}',
-                          compute_dtype=_dtype(self.compute_dtype),
-                          use_pallas=False)(h)
-            if not (self.pre_activation and i == pack_at - 1):
-                # the pack consumes bf16 — skip the f32 relayout when
-                # nothing float32 (BN/residual) reads the conv output
+        pending = {}
+
+        def as_4d(entry):
+            if entry[0] == 'u':
+                return entry[1]
+            _, r2, rows, gs = entry
+            gr = gs._replace(t=rows, tp=rows, ls=rows * gs.fs, tc=1)
+            return pconv.unpack_fm(r2, gr, jnp.float32)
+
+        def run_unpacked(x, seq_len, lo, hi):
+            for i in range(lo, hi):
+                is_output = self.output_layer and i == n - 1
+                h = x
+                if self.pre_activation and not is_output:
+                    if self.norm == 'batch':
+                        h = MaskedBatchNorm(
+                            **norm_kwargs, name=f'norm_{i}')(
+                                h, seq_len, training)
+                    h = act(h)
+                k = kernels[i]
+                kt, kf = (k, k) if not isinstance(k, (tuple, list)) \
+                    else k
+                h = Conv2dMXU(self.out_channels[i],
+                              kernel_size=(kt, kf), name=f'conv_{i}',
+                              compute_dtype=_dtype(self.compute_dtype),
+                              use_pallas=False)(h)
                 h = h.astype(jnp.float32)
-            if not self.pre_activation and not is_output:
-                h = MaskedBatchNorm(**norm_kwargs, name=f'norm_{i}')(
-                    h, seq_len, training)
-                h = act(h)
-            h = _pool2d(h, pools[i])
-            _, pt_ = _pool_fp_tp(pools[i])
-            if pt_ > 1:
-                seq_len = -(-seq_len // pt_)
-            x = h
+                if not self.pre_activation and not is_output:
+                    if self.norm == 'batch':
+                        h = MaskedBatchNorm(
+                            **norm_kwargs, name=f'norm_{i}')(
+                                h, seq_len, training)
+                    h = act(h)
+                if i in pending:
+                    for e in pending.pop(i):
+                        h = h + _match_residual(as_4d(e), h.shape)
+                if residuals[i] is not None:
+                    pending.setdefault(int(residuals[i]), []).append(
+                        ('u', h))
+                h = _pool2d(h, pools[i])
+                _, pt_ = _pool_fp_tp(pools[i])
+                if pt_ > 1:
+                    seq_len = -(-seq_len // pt_)
+                x = h
+            return x, seq_len
+
+        x, seq_len = run_unpacked(x, seq_len, 0, pack_at)
         g = geoms[pack_at]
         cin_entry = x.shape[-1]
         if entry_pad and self.pre_activation:
@@ -367,7 +479,7 @@ class CNN2d(nn.Module, Configurable):
         if entry_pad:
             x2 = jnp.pad(x2, ((0, 0), (0, 16 - cin_entry), (0, 0)))
         f_rows = g.t
-        for i in range(pack_at, n):
+        for i in range(pack_at, unpack_at):
             g = geoms[i]
             assert g.t == f_rows, (g, f_rows)
             is_output = self.output_layer and i == n - 1
@@ -392,16 +504,26 @@ class CNN2d(nn.Module, Configurable):
                 h = MaskedBatchNorm(**norm_kwargs, name=f'norm_{i}')(
                     x2, seq_len, training, packed_mask=valid)
                 x2 = (act(h) * struct).astype(jnp.bfloat16)
+            if i in pending:
+                acc = x2.astype(jnp.float32)
+                for e in pending.pop(i):
+                    acc = acc + _match_residual_packed(
+                        e, f_rows, x2.shape[1], g, pconv)
+                x2 = acc.astype(jnp.bfloat16)
+            if residuals[i] is not None:
+                pending.setdefault(int(residuals[i]), []).append(
+                    ('p', x2, f_rows, g))
             pf_, _ = _pool_fp_tp(pools[i])
             if pf_ == 2:
                 f_rows //= 2
                 x2 = pconv.maxpool2_rows_packed(
                     x2, f_rows, g.fs, interpret)
-        gl = geoms[n - 1]
+        gl = geoms[unpack_at - 1]
         g_out = pconv.ConvGeom(
             t=f_rows, f=gl.f, kt=gl.kt, kf=gl.kf, tc=1, tp=f_rows,
             fs=gl.fs, ls=f_rows * gl.fs)
-        return pconv.unpack_fm(x2, g_out, jnp.float32), seq_len
+        x = pconv.unpack_fm(x2, g_out, jnp.float32)
+        return run_unpacked(x, seq_len, unpack_at, n)
 
     @nn.compact
     def __call__(self, x, seq_len, training=False):
@@ -416,7 +538,7 @@ class CNN2d(nn.Module, Configurable):
         plan = self._packed_plan(x, kernels, pools, residuals)
         if plan is not None:
             return self._packed_forward(
-                x, seq_len, training, plan, kernels, pools)
+                x, seq_len, training, plan, kernels, pools, residuals)
         act = _act(self.activation_fn)
         norm_kwargs = self.norm_kwargs or {}
         pending = {}
@@ -448,7 +570,7 @@ class CNN2d(nn.Module, Configurable):
                     h = nn.Dropout(self.dropout, deterministic=False)(h)
             if i in pending:
                 for res in pending.pop(i):
-                    h = h + _match_residual(res, h)
+                    h = h + _match_residual(res, h.shape)
             if residuals[i] is not None:
                 pending.setdefault(int(residuals[i]), []).append(h)
             pool = pools[i]
@@ -516,7 +638,7 @@ class CNN1d(nn.Module, Configurable):
                     h = nn.Dropout(self.dropout, deterministic=False)(h)
             if i in pending:
                 for res in pending.pop(i):
-                    h = h + _match_residual(res, h)
+                    h = h + _match_residual(res, h.shape)
             if residuals[i] is not None:
                 pending.setdefault(int(residuals[i]), []).append(h)
             if pools[i] > 1:

@@ -745,6 +745,13 @@ def _fm_dir_bytes(tc, fs, ls, rk, lk, cin, cout, bwd):
         n += 4 * cd * lb        # out tile, double-buffered bf16
     if fs % 128 == 0 and lk > 1 and cs % 128 == 0:  # taps path
         n += 2 * (lk - 1) * cs * span + 2 * cs * lb   # xr + tmp
+        # the taps path reads the revisited source through per-tap
+        # window slices and Mosaic holds a second copy — measured on
+        # v5e: deep L10 fwd (128ch, ls=16k) modeled 12.3 MB at tc=8,
+        # real 19.7 MB; shallow L7 bwd modeled 12.3 MB at tc=8, real
+        # 17.05 MB. One extra revisited-source charge splits every
+        # measured pass/fail point.
+        n += 2 * cs * ls
     elif fs % 128 == 0 and lk > 1:                    # rot path
         n += 2 * k * lb + 2 * cs * span               # patch + xr
     else:                                             # legacy build
@@ -779,14 +786,25 @@ def fm_geom(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None):
         # geom-convention extents: rows = freq (conv kf), lanes = time
         ci, co = max(cin, 8), max(cout, 8)
         fc = fb = 1
+        # FORWARD block from the per-direction footprint model (the
+        # round-3 on-chip block sweep calibrated exactly this: forward
+        # wins 11-18% at L6/L7 blocks whose backward does not compile).
         for d in range(1, f_bins + 1):
             if f_bins % d == 0:
                 if _fm_dir_bytes(d, ts, f_bins * ts, kf, kt, ci, co,
                                  False) <= _VMEM_DIR_TARGET_BYTES:
                     fc = d
-                if _fm_dir_bytes(d, ts, f_bins * ts, kf, kt, ci, co,
-                                 True) <= _VMEM_DIR_TARGET_BYTES:
-                    fb = d
+        # BACKWARD block from the legacy whole-footprint model
+        # (production-validated): the per-direction backward model
+        # under-counts the taps path — measured on v5e: shallow L7
+        # (128->128, F=16) modeled 12.34 MB at tc=8, real 17.05 MB
+        # (1.05 MB over the 16 MB hardware limit). Also clamped to the
+        # forward block (larger-backward blocks are uncalibrated).
+        budget = max(1, _max_block_lanes(
+            kt * kf * c, c, f_bins * ts, halo=(kf - 1) * ts) // ts)
+        for d in range(1, f_bins + 1):
+            if f_bins % d == 0 and d <= min(budget, fc):
+                fb = d
         g = _with_tc(f_bins, t_frames, kf, kt, fc, fs=ts)
         return g._replace(tcb=fb) if fb != fc else g
     budget = max(1, _max_block_lanes(
@@ -800,18 +818,30 @@ def fm_geom(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None):
     return _with_tc(f_bins, t_frames, kf, kt, fc, fs=ts)
 
 
-def fm_supported(t_frames, f_bins, kt, kf, cmax):
-    """Whether the freq-major kernels handle this layer within VMEM:
-    the patch at the minimal (single-row) block must fit
-    _PATCH_LIMIT_BYTES."""
+def fm_supported(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None):
+    """Whether the freq-major kernels handle this layer within VMEM.
+
+    With ``cin``/``cout`` the acceptance gate mirrors the block
+    chooser exactly (``fm_geom``): the legacy whole-footprint model
+    must admit a single-row BACKWARD block (production-validated; the
+    per-direction backward model under-counts the taps path) and the
+    per-direction model must admit a single-row FORWARD block — a
+    layer passing the gate always has a compilable block for both
+    kernels."""
     if kt % 2 == 0 or kf % 2 == 0 or kt * kf <= 1:
         return False
     ts = -(-(t_frames + kt - 1) // 128) * 128
     c = max(cmax, 8)
     patch = kt * kf * c * ts * 2
-    return (patch <= _PATCH_LIMIT_BYTES
-            and _max_block_lanes(kt * kf * c, c, f_bins * ts,
-                                 halo=(kf - 1) * ts) >= ts)
+    legacy = (patch <= _PATCH_LIMIT_BYTES
+              and _max_block_lanes(kt * kf * c, c, f_bins * ts,
+                                   halo=(kf - 1) * ts) >= ts)
+    if cin is not None and cout is not None:
+        ci, co = max(cin, 8), max(cout, 8)
+        return legacy and _fm_dir_bytes(
+            1, ts, f_bins * ts, kf, kt, ci, co, False
+        ) <= _VMEM_DIR_TARGET_BYTES
+    return legacy
 
 
 def pack_fm(x4, geom, dtype=jnp.bfloat16):
@@ -899,15 +929,34 @@ def _pool_bwd_kernel(x_ref, g_ref, dx_ref, *, rows, ts):
             keep, zero, gy).astype(dx_ref.dtype)
 
 
+def _pool_cblock(c, f_out, ts, bwd):
+    """Channel block for the pool kernels. Whole-(C, Ls) blocks
+    overflow scoped VMEM at deep geometries (measured on v5e: C=256,
+    ls=8192 forward = 20 MB real vs the 16 MB limit); the row-pair max
+    is elementwise across channels, so blocking C is exact. Per-channel
+    bytes: fwd in+out = 6*f_out*ts, bwd x+g+dx = 10*f_out*ts, double-
+    buffered (x2); a 6 MB budget leaves margin for Mosaic fixed
+    structures. Channel tiling is (8, 128), so blocks stay multiples
+    of 8."""
+    per = (10 if bwd else 6) * f_out * ts * 2
+    budget = 6 * 1024 * 1024
+    cb = c
+    while cb > 8 and cb % 2 == 0 and per * cb > budget:
+        cb //= 2
+    return cb
+
+
 def _pool_fwd(x2, f_out, ts, interpret):
     bsz, c, ls = x2.shape
     assert ls == 2 * f_out * ts, (x2.shape, f_out, ts)
+    cb = _pool_cblock(c, f_out, ts, bwd=False)
     kernel = functools.partial(_pool_fwd_kernel, rows=f_out, ts=ts)
     return pl.pallas_call(
         kernel,
-        grid=(bsz,),
-        in_specs=[pl.BlockSpec((1, c, ls), lambda bi: (bi, 0, 0))],
-        out_specs=pl.BlockSpec((1, c, f_out * ts), lambda bi: (bi, 0, 0)),
+        grid=(bsz, c // cb),
+        in_specs=[pl.BlockSpec((1, cb, ls), lambda bi, ci: (bi, ci, 0))],
+        out_specs=pl.BlockSpec((1, cb, f_out * ts),
+                               lambda bi, ci: (bi, ci, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, c, f_out * ts), x2.dtype),
         interpret=interpret,
     )(x2)
@@ -927,15 +976,17 @@ def _pool_vjp_fwd(x2, f_out, ts, interpret):
 
 def _pool_vjp_bwd(f_out, ts, interpret, x2, gy):
     bsz, c, ls = x2.shape
+    cb = _pool_cblock(c, f_out, ts, bwd=True)
     kernel = functools.partial(_pool_bwd_kernel, rows=f_out, ts=ts)
     dx = pl.pallas_call(
         kernel,
-        grid=(bsz,),
+        grid=(bsz, c // cb),
         in_specs=[
-            pl.BlockSpec((1, c, ls), lambda bi: (bi, 0, 0)),
-            pl.BlockSpec((1, c, f_out * ts), lambda bi: (bi, 0, 0)),
+            pl.BlockSpec((1, cb, ls), lambda bi, ci: (bi, ci, 0)),
+            pl.BlockSpec((1, cb, f_out * ts),
+                         lambda bi, ci: (bi, ci, 0)),
         ],
-        out_specs=pl.BlockSpec((1, c, ls), lambda bi: (bi, 0, 0)),
+        out_specs=pl.BlockSpec((1, cb, ls), lambda bi, ci: (bi, ci, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, c, ls), gy.dtype),
         interpret=interpret,
     )(x2, gy.astype(x2.dtype))

@@ -34,7 +34,8 @@ jax.config.update('jax_compilation_cache_dir', '/tmp/jax_bench_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.)
 
 
-def measure(tag, batch_size=32, seconds=10., steps=6):
+def measure(tag, batch_size=32, seconds=10., steps=6,
+            net_config='shallow'):
     from __graft_entry__ import _batch
     from pb_sed_tpu.models import weak_label
     from pb_sed_tpu.models.net_configs import fbcrnn_config
@@ -42,7 +43,7 @@ def measure(tag, batch_size=32, seconds=10., steps=6):
     from pb_sed_tpu.utils.xplane import (
         device_step_times_ms, stall_gaps_ms)
 
-    cfg = fbcrnn_config(net_config='shallow', num_events=10)
+    cfg = fbcrnn_config(net_config=net_config, num_events=10)
     config = weak_label.CRNN.get_config(cfg)
     model = weak_label.CRNN.from_config(config)
     trainer = Trainer(model, storage_dir=None,
@@ -74,4 +75,7 @@ def measure(tag, batch_size=32, seconds=10., steps=6):
 
 if __name__ == '__main__':
     print('backend:', jax.default_backend(), file=sys.stderr)
-    measure('flagship')
+    net = sys.argv[1] if len(sys.argv) > 1 else 'shallow'
+    bs = int(sys.argv[2]) if len(sys.argv) > 2 else (
+        32 if net == 'shallow' else 16)
+    measure(net, batch_size=bs, net_config=net)

@@ -51,11 +51,15 @@ def _trace_median(jfn, args, n=8):
     return float(np.median(times))
 
 
-def run(name, f_bins, cin, cout, tcs):
+def run(name, f_bins, cin, cout, tcs, t=500, kt=3, kf=3):
     rng = np.random.RandomState(0)
     bsz = 32
+    # fm-orientation lane stride: 128-aligned halo-extended frame count
+    # (computed like fm_geom — a hard-coded value silently builds a
+    # wrong geometry when t/kt change)
+    ts = -(-(t + kt - 1) // 128) * 128
     for tc in tcs:
-        g = _with_tc(f_bins, 500, 3, 3, tc, fs=512)
+        g = _with_tc(f_bins, t, kf, kt, tc, fs=ts)
         x2 = jnp.asarray(rng.randn(bsz, cin, g.ls).astype(np.float32)
                          ).astype(jnp.bfloat16)
         gy = jnp.asarray(rng.randn(bsz, cout, g.ls).astype(np.float32)

@@ -297,7 +297,7 @@ def test_cnn2d_packed_tower_parity(interpret_mode, pre_activation):
     # packs via the channel-padded ENTRY (entry_pad)
     plan = packed._packed_plan(
         x, [3] * 4, [1, [2, 1], 1, [2, 1]], [None] * 4)
-    assert plan is not None and plan[0] == 0 and plan[3] is True
+    assert plan is not None and plan[:2] == (0, 4) and plan[4] is True
 
     (y_ref, sl_ref), stats_ref = ref.apply(
         variables, x, seq_len, training=True, mutable=['batch_stats'])
@@ -385,25 +385,176 @@ def test_cnn2d_packed_tower_gradients(interpret_mode):
         np.testing.assert_allclose(gp, gr, atol=atol, err_msg=str(path))
 
 
+def _deep_mini_tower(use_pallas, pools=None, residuals='default'):
+    """Tiny analog of the reference 'deep' net_config: alternating
+    3x3 / 1x1 kernels, i -> i+2 residual skips across a channel-growth
+    + freq-pool boundary (reference training.py:158-185)."""
+    from pb_sed_tpu.ops.cnn import CNN2d
+    if residuals == 'default':
+        residuals = [None, None, 4, None, None, None]
+    return CNN2d(
+        out_channels=[16, 16, 16, 16, 32, 32],
+        kernel_size=[3, 1, 3, 1, 3, 1],
+        pool_size=pools if pools is not None
+        else [1, 1, [2, 1], 1, 1, 1],
+        residual_connections=residuals,
+        norm='batch', norm_kwargs={'eps': 1e-3},
+        activation_fn='relu', pre_activation=True,
+        dropout=0., output_layer=False, use_pallas=use_pallas)
+
+
+def test_cnn2d_packed_deep_tower_parity(interpret_mode):
+    """Deep-config features on the packed layout: 1x1 convs (masked
+    packed matmul), residual skips crossing a pool + channel-growth
+    boundary (packed row avg-pool + channel zero-pad), all inside one
+    packed window — outputs and seq_len must match the unpacked XLA
+    tower with the SAME parameter tree."""
+    x, seq_len = _tower_data(seed=13, t=24, f=8)
+    ref = _deep_mini_tower(False)
+    packed = _deep_mini_tower(True)
+    variables = ref.init(jax.random.PRNGKey(3), x, seq_len,
+                         training=True)
+    plan = packed._packed_plan(
+        x, [3, 1, 3, 1, 3, 1], [1, 1, [2, 1], 1, 1, 1],
+        [None, None, 4, None, None, None])
+    assert plan is not None and plan[:2] == (0, 6)
+    for training in (True, False):
+        if training:
+            (y_ref, sl_ref), _ = ref.apply(
+                variables, x, seq_len, training=True,
+                mutable=['batch_stats'])
+            (y_p, sl_p), _ = packed.apply(
+                variables, x, seq_len, training=True,
+                mutable=['batch_stats'])
+        else:
+            y_ref, sl_ref = ref.apply(variables, x, seq_len,
+                                      training=False)
+            y_p, sl_p = packed.apply(variables, x, seq_len,
+                                     training=False)
+        assert y_p.shape == y_ref.shape
+        np.testing.assert_array_equal(np.asarray(sl_p),
+                                      np.asarray(sl_ref))
+        atol = 1e-4 + 2e-2 * float(np.max(np.abs(np.asarray(y_ref))))
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                                   atol=atol)
+
+
+def test_cnn2d_packed_deep_tower_gradients(interpret_mode):
+    """Gradient parity of the deep-config packed tower (pool-free to
+    avoid max-pool argmax flips at bf16 near-ties; conv-bias-before-BN
+    leaves carry an analytically-zero gradient drowned in bf16 noise —
+    same handling as test_cnn2d_packed_tower_gradients)."""
+    x, seq_len = _tower_data(seed=14, t=24, f=8)
+    ref = _deep_mini_tower(False, pools=[1] * 6)
+    packed = _deep_mini_tower(True, pools=[1] * 6)
+    variables = ref.init(jax.random.PRNGKey(4), x, seq_len,
+                         training=True)
+
+    def loss(model, params):
+        (y, _), _ = model.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            x, seq_len, training=True, mutable=['batch_stats'])
+        return jnp.sum(jnp.square(y))
+
+    g_ref = jax.grad(lambda p: loss(ref, p))(variables['params'])
+    g_p = jax.grad(lambda p: loss(packed, p))(variables['params'])
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_p = jax.tree_util.tree_leaves(g_p)
+    gmax = max(float(np.max(np.abs(np.asarray(g, np.float32))))
+               for _, g in flat_r)
+    for (path, gr), gp in zip(flat_r, flat_p):
+        gr = np.asarray(gr, dtype=np.float32)
+        gp = np.asarray(gp, dtype=np.float32)
+        layer = str(path[0].key)
+        leaf = str(path[1].key)
+        if leaf == 'bias' and layer.startswith('conv_') \
+                and layer != 'conv_5':
+            wmax = float(np.max(np.abs(np.asarray(
+                g_p[layer]['kernel'], np.float32))))
+            assert float(np.max(np.abs(gp))) < 2e-2 * wmax + 1e-3, path
+            continue
+        atol = 1e-3 + 8e-2 * float(np.max(np.abs(gr))) + 2e-3 * gmax
+        np.testing.assert_allclose(gp, gr, atol=atol, err_msg=str(path))
+
+
+def test_packed_window_boundary_residuals(interpret_mode):
+    """Residual skips CROSSING a packed-window boundary convert at the
+    use site: an unpacked-prefix save added at a packed layer (u -> p)
+    and a packed save added at an unpacked-tail layer (p -> u). The
+    window is forced by unpackable layers (even kernels) at the tower
+    ends."""
+    from pb_sed_tpu.ops.cnn import CNN2d
+    kernels = [2, 3, 3, 3, 2]
+    pools = [1, 1, [2, 1], 1, 1]
+    residuals = [2, None, 4, None, None]
+    cfg = dict(out_channels=[16, 16, 16, 32, 32],
+               kernel_size=kernels, pool_size=pools,
+               residual_connections=residuals, norm='batch',
+               norm_kwargs={'eps': 1e-3}, activation_fn='relu',
+               pre_activation=True, dropout=0., output_layer=False)
+    x, seq_len = _tower_data(seed=15, t=24, f=8, c=1)
+    ref = CNN2d(**cfg, use_pallas=False)
+    packed = CNN2d(**cfg, use_pallas=True)
+    plan = packed._packed_plan(x, kernels, pools, residuals)
+    assert plan is not None and plan[:2] == (1, 4)
+    variables = ref.init(jax.random.PRNGKey(5), x, seq_len,
+                         training=True)
+    (y_ref, sl_ref), _ = ref.apply(variables, x, seq_len,
+                                   training=True,
+                                   mutable=['batch_stats'])
+    (y_p, sl_p), _ = packed.apply(variables, x, seq_len,
+                                  training=True,
+                                  mutable=['batch_stats'])
+    np.testing.assert_array_equal(np.asarray(sl_p), np.asarray(sl_ref))
+    atol = 1e-4 + 2e-2 * float(np.max(np.abs(np.asarray(y_ref))))
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_ref),
+                               atol=atol)
+
+
+def test_bwd_block_override_matches_default(interpret_mode):
+    """A ConvGeom with a backward-specific row block (tcb != tc) must
+    produce the same gradients as the default block: dx bit-equal
+    (identical per-element contractions), dw within f32 summation-order
+    noise (ADVICE r3: the tcb mechanism needs a pinned test)."""
+    rng = np.random.RandomState(16)
+    x = _rand(rng, 2, 20, 8, 16)
+    w = _rand(rng, 3, 3, 16, 16) / 12.
+    g0 = pconv.fm_geom(20, 8, 3, 3, 16)
+    assert g0.tc in (4, 8) and g0.t % g0.tc == 0
+    x2 = pconv.pack_fm(x, g0)
+    gm = pconv.pack_fm(_rand(rng, 2, 20, 8, 16), g0)
+    dx_a, dw_a = pconv._bwd_fused(x2, gm, w, g0, True)
+    g1 = g0._replace(tcb=g0.tc // 2)
+    dx_b, dw_b = pconv._bwd_fused(x2, gm, w, g1, True)
+    np.testing.assert_array_equal(np.asarray(dx_a, np.float32),
+                                  np.asarray(dx_b, np.float32))
+    np.testing.assert_allclose(np.asarray(dw_a), np.asarray(dw_b),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_packed_plan_gating(interpret_mode):
-    """Residuals / dropout / time pools / non-batch norm fall back to
-    the unpacked path; 'auto' mode on CPU never packs."""
+    """Dropout / non-batch norm fall back to the unpacked path; time
+    pools bound the packed WINDOW; residuals pack (carried as packed
+    buffers); 'auto' mode on CPU never packs."""
     x, seq_len = _tower_data(seed=9)
     kernels, pools = [3] * 4, [1, [2, 1], 1, [2, 1]]
     assert _mini_tower(True)._packed_plan(
         x, kernels, pools, [None] * 4) is not None
+    # residuals no longer reject the plan (round-4: packed skips)
     assert _mini_tower(True, residuals=[None, 3, None, None]
                        )._packed_plan(
-        x, kernels, pools, [None, 3, None, None]) is None
+        x, kernels, pools, [None, 3, None, None]) is not None
     assert _mini_tower(True, dropout=.5)._packed_plan(
         x, kernels, pools, [None] * 4) is None
-    # a mid-tower TIME pool defers packing to the suffix after it...
+    # a mid-tower TIME pool starts the packed window after it...
     plan = _mini_tower(True)._packed_plan(
         x, kernels, [1, [2, 2], 1, 1], [None] * 4)
-    assert plan is not None and plan[0] == 2
-    # ...and a trailing one (no packable suffix) falls back entirely
-    assert _mini_tower(True)._packed_plan(
-        x, kernels, [1, 1, 1, [2, 2]], [None] * 4) is None
+    assert plan is not None and plan[:2] == (2, 4)
+    # ...and a trailing one bounds the window before it (the tail
+    # layer runs the unpacked XLA path)
+    plan = _mini_tower(True)._packed_plan(
+        x, kernels, [1, 1, 1, [2, 2]], [None] * 4)
+    assert plan is not None and plan[:2] == (0, 3)
     # 'auto' on CPU: bit-exact fallback (kernels would drift in bf16)
     rnn_mod.set_pallas_mode('auto')
     ref = _mini_tower(False)
@@ -478,7 +629,7 @@ def test_fbcrnn_packed_tower_wiring(interpret_mode):
         norm='batch', norm_kwargs={'eps': 1e-3}, pre_activation=True,
         use_pallas=True)._packed_plan(
             x, [3] * 3, [1, [2, 1], [2, 1]], [None] * 3)
-    assert plan is not None and plan[0] == 0 and plan[3] is True
+    assert plan is not None and plan[0] == 0 and plan[4] is True
 
 
 @pytest.mark.skipif(jax.default_backend() != 'tpu',
