@@ -30,7 +30,17 @@ import time
 
 import numpy as np
 
-A100_BASELINE_CLIPS_PER_SEC = 200.
+# Derived, not assumed (BASELINE.md "Derived A100 throughput
+# baseline"): component model of the reference PyTorch FBCRNN train
+# step on one A100-SXM — TF32 tensor-core convs at fill-discounted
+# efficiency, cuDNN GRU at its small-batch recurrent-GEMM rate, f32
+# HBM elementwise terms, eager-mode overhead — lands at ~45 ms/step
+# at bs=32, i.e. ~700 clips/s (range 460 tuned-f32 .. 1280 bf16-AMP).
+# The reference publishes no throughput numbers to measure against.
+A100_BASELINE_CLIPS_PER_SEC = 700.
+# TPU v5e chip peak, bf16 MXU (Google spec: 197 TFLOP/s bf16 /
+# 394 TOPS int8) — the MFU denominator.
+V5E_BF16_PEAK_TFLOPS = 197.
 BATCH_SIZE = 32
 SECONDS = 10.
 
@@ -129,8 +139,21 @@ def lane_train(results):
                 flops / 1e9, 2)
             arch_gflops = 1047.
             results['train_step_gflops_arch'] = arch_gflops
+            # reconciliation of the two FLOPs figures: 'arch' is XLA's
+            # own cost model for the IDENTICAL step with the hand
+            # kernels disabled (round-2 measurement, pure-XLA build);
+            # 'xla_visible' omits every custom-call body (packed conv
+            # tower fwd+bwd, GRU fwd+bwd kernels), so arch - visible
+            # ~= the FLOPs now executed inside Pallas kernels
+            results['gflops_note'] = (
+                'arch = full-step XLA cost model (kernels disabled); '
+                'xla_visible excludes Pallas custom-call bodies; the '
+                'difference is the conv-tower + GRU kernel FLOPs')
             results['achieved_tflops_best'] = round(
                 arch_gflops / 1e3 / float(np.min(wall)), 2)
+            results['mfu_wall'] = round(
+                arch_gflops / 1e3 / float(np.min(wall))
+                / V5E_BF16_PEAK_TFLOPS, 4)
     except Exception as exc:  # noqa: BLE001 — evidence lane, best effort
         print(f'cost_analysis unavailable: {exc!r}', file=sys.stderr)
 
@@ -174,12 +197,17 @@ def lane_ensemble(results, n_models=10):
         m.init_variables(b, seed=i)
         models.append(m)
     mesh = default_ensemble_mesh(n_models)
-    runner = StackedEnsemble(models, mesh=mesh)
+    # PRODUCTION shape bs=32 via chunk_size=8: the sliding-window fold
+    # multiplies the batch by ~T windows and bs=32 x 10 members
+    # OOM-kills the remote AOT compile helper (PERFORMANCE.md tunnel
+    # pathology #5), so the ensemble evaluates fixed bs=8 chunks
+    # through ONE compiled program; async dispatch pipelines the 4
+    # chunks so device time, not dispatch, dominates.
+    runner = StackedEnsemble(models, mesh=mesh, chunk_size=8)
     results['ensemble10_mesh'] = (
         dict(mesh.shape) if mesh is not None else None)
-    # bs=8: the sliding-window fold multiplies the batch by ~T windows;
-    # bs=32 x 10 members OOM-kills the remote AOT compile helper
-    ens_batch = 8
+    results['ensemble10_chunk_size'] = 8
+    ens_batch = 32
     batch = _batch(models[0], batch_size=ens_batch, seconds=SECONDS)
     batch = {k: jnp.asarray(v) for k, v in batch.items()
              if isinstance(v, np.ndarray)}
@@ -198,7 +226,8 @@ def lane_ensemble(results, n_models=10):
 
     # member-count scaling: 1-member reference point (same batch/window)
     try:
-        runner1 = StackedEnsemble(models[:1], mesh=default_ensemble_mesh(1))
+        runner1 = StackedEnsemble(models[:1], mesh=default_ensemble_mesh(1),
+                                  chunk_size=8)
         runner1.sound_event_detection(batch, **kwargs)  # compile
         dt1 = _timed(
             lambda: runner1.sound_event_detection(batch, **kwargs), n)
@@ -222,8 +251,11 @@ def lane_ensemble(results, n_models=10):
         from bench_xplane import device_step_times_ms, duty_cycle_summary
         times = device_step_times_ms(logdir)
         if times:
-            results['ensemble10_device_ms'] = round(
+            # module spans are PER CHUNK (bs=8); 4 chunks per batch
+            results['ensemble10_device_ms_per_chunk'] = round(
                 float(np.median(times)), 3)
+            results['ensemble10_device_ms'] = round(
+                float(np.median(times)) * (ens_batch // 8), 3)
         duty = duty_cycle_summary(logdir)
         if duty:
             results['ensemble10_device_busy_ms'] = duty['busy_ms']
@@ -362,6 +394,13 @@ def lane_profile(results):
         if times:
             results['device_ms_per_step_from_trace'] = round(
                 float(np.median(times)), 3)
+            # device-span MFU: arch FLOPs over the trace-measured
+            # module span (the trustworthy timing on this tunnel,
+            # CLAUDE.md) against the documented v5e bf16 peak
+            results['mfu_device'] = round(
+                results.get('train_step_gflops_arch', 1047.) / 1e3
+                / (float(np.median(times)) / 1e3)
+                / V5E_BF16_PEAK_TFLOPS, 4)
         # direct duty-cycle measurement (VERDICT r2 #2): op-busy time
         # inside the module span distinguishes a genuinely slow program
         # (busy ~= span) from pool time-slicing (busy << span)
@@ -500,6 +539,11 @@ def main():
         'value': headline,
         'unit': 'clips/s/chip',
         'vs_baseline': round(headline / A100_BASELINE_CLIPS_PER_SEC, 3),
+        'a100_baseline_clips_per_s': A100_BASELINE_CLIPS_PER_SEC,
+        'a100_baseline_note': (
+            'derived component model of the torch reference on one '
+            'A100 (BASELINE.md), range 460-1280; earlier rounds '
+            'divided by an assumed 200'),
         **results,
     }))
 

@@ -50,7 +50,14 @@ class Dataset:
         return self
 
     # -- transformations ----------------------------------------------
-    def map(self, fn):
+    def map(self, fn, num_workers=0, buffer_size=None):
+        """Lazy per-example map; with ``num_workers > 1`` applications
+        run on an ordered thread pool (:class:`ParallelMapDataset`) —
+        only for fns with no sequential state (an fn drawing from a
+        seeded rng would consume draws in pool order and break the
+        identical-pipeline multi-host contract, fetcher.py docstring)."""
+        if num_workers and num_workers > 1:
+            return ParallelMapDataset(self, fn, num_workers, buffer_size)
         return MapDataset(self, fn)
 
     def batch_map(self, fn):
@@ -271,6 +278,93 @@ class CacheDataset(Dataset):
                 self._cache[item] = self.parent[item]
             return self._cache[item]
         return super().__getitem__(item)
+
+
+class ParallelMapDataset(Dataset):
+    """Ordered thread-pool map with bounded lookahead.
+
+    One puller thread iterates the parent (cheap upstream work) and
+    submits ``fn`` applications to ``num_workers`` pool threads; the
+    consumer receives results in INPUT ORDER. The wav decode
+    (``data/native.py`` ctypes + numpy resample) releases the GIL, so
+    workers scale with cores — the host-pipeline lever for feeding a
+    chip that steps faster than one core can decode (reference prefetch
+    design ``pb_sed/data_preparation/fetcher.py:19-52``; the reference
+    used a process pool, which the int16/f32 waveform transport here
+    would pay serialization for).
+
+    ``fn`` must be thread-safe and draw no sequential randomness —
+    parallel application reorders rng consumption (see Dataset.map).
+    Iteration order and values are bit-identical to the sequential map.
+    """
+
+    def __init__(self, parent, fn, num_workers, buffer_size=None):
+        self.parent = parent
+        self.fn = fn
+        self.num_workers = max(1, int(num_workers))
+        self.buffer_size = int(buffer_size or 2 * self.num_workers)
+
+    def __len__(self):
+        return len(self.parent)
+
+    def __getitem__(self, item):
+        if isinstance(item, (int, np.integer)):
+            return self.fn(self.parent[item])
+        return super().__getitem__(item)
+
+    @property
+    def indexable(self):
+        return self.parent.indexable
+
+    def copy(self, freeze=False):
+        return ParallelMapDataset(self.parent.copy(freeze), self.fn,
+                                  self.num_workers, self.buffer_size)
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+        # queue of in-flight futures, in submission order; maxsize
+        # bounds decoded-example memory AND applies backpressure to
+        # the puller
+        q = queue.Queue(maxsize=self.buffer_size)
+        sentinel = object()
+        stop = threading.Event()
+        pool = ThreadPoolExecutor(self.num_workers)
+
+        def puller():
+            try:
+                for ex in self.parent:
+                    if stop.is_set():
+                        return
+                    fut = pool.submit(self.fn, ex)
+                    while not stop.is_set():
+                        try:
+                            q.put(fut, timeout=.1)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as exc:  # surfaced in consumer
+                q.put(('__error__', exc))
+            finally:
+                try:
+                    q.put_nowait(sentinel)
+                except queue.Full:
+                    # consumer gone (stop set): nothing reads anymore
+                    pass
+
+        thread = threading.Thread(target=puller, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, tuple) and len(item) == 2 \
+                        and item[0] == '__error__':
+                    raise item[1]
+                yield item.result()
+        finally:
+            stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 class PrefetchDataset(Dataset):

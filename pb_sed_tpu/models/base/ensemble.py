@@ -45,7 +45,8 @@ class StackedEnsemble:
     Exposes the same inference API; scores are the ensemble mean.
     """
 
-    def __init__(self, models, mesh=None, ensemble_axis='ensemble'):
+    def __init__(self, models, mesh=None, ensemble_axis='ensemble',
+                 chunk_size=None):
         assert len(models) >= 1
         assert same_architecture(models), 'architectures differ'
         self.models = models
@@ -55,6 +56,13 @@ class StackedEnsemble:
             *[m.variables for m in models])
         self.mesh = mesh
         self.ensemble_axis = ensemble_axis
+        # chunk_size: evaluate batches in fixed-size chunks through ONE
+        # compiled program (the last chunk pads by repeating its final
+        # row; outputs are sliced back). Large sliding-window programs
+        # (batch x ~T windows x members) can exceed the XLA AOT
+        # compile-helper's memory at full batch — chunking keeps program
+        # size constant while async dispatch pipelines the chunks.
+        self.chunk_size = chunk_size
         if mesh is not None and ensemble_axis in mesh.axis_names:
             sharding = NamedSharding(
                 mesh, P(ensemble_axis))
@@ -66,6 +74,42 @@ class StackedEnsemble:
         return len(self.models)
 
     def _apply(self, batch, method, **kwargs):
+        cs = self.chunk_size
+        if cs:
+            arrays = {k: v for k, v in batch.items()
+                      if isinstance(v, (np.ndarray, jnp.ndarray))
+                      and np.ndim(v) >= 1}
+            lens = {np.shape(v)[0] for v in arrays.values()}
+            if lens and max(lens) > cs:
+                assert len(lens) == 1, lens
+                batch_len = lens.pop()
+                ys, sls = [], []
+                for lo in range(0, batch_len, cs):
+                    hi = min(lo + cs, batch_len)
+                    chunk = {
+                        k: (v[lo:hi] if k in arrays else v)
+                        for k, v in batch.items()}
+                    if hi - lo < cs:
+                        # pad to the ONE static chunk shape by repeating
+                        # the last row (mirrors the data-axis padding)
+                        pad = cs - (hi - lo)
+                        chunk = {
+                            k: (np.concatenate(
+                                [v, np.repeat(np.asarray(v)[-1:], pad,
+                                              axis=0)], axis=0)
+                                if k in arrays else v)
+                            for k, v in chunk.items()}
+                    y, sl = self._apply_chunk(chunk, method, **kwargs)
+                    ys.append(np.asarray(y)[:hi - lo])
+                    sls.append(np.asarray(sl)[:hi - lo]
+                               if np.ndim(sl) >= 1 else sl)
+                y = np.concatenate(ys, axis=0)
+                sl = (np.concatenate(sls, axis=0)
+                      if np.ndim(sls[0]) >= 1 else sls[0])
+                return y, sl
+        return self._apply_chunk(batch, method, **kwargs)
+
+    def _apply_chunk(self, batch, method, **kwargs):
         key = (getattr(method, '__name__', method),
                tuple(sorted(kwargs.items())))
         module = self.module

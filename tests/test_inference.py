@@ -167,6 +167,26 @@ def test_stacked_ensemble_matches_sequential(setup):
     np.testing.assert_allclose(y, (y_seq0 + y_seq1) / 2, atol=2e-5)
 
 
+def test_stacked_ensemble_chunked_matches_unchunked(setup):
+    """chunk_size evaluates fixed-size chunks through one program (the
+    compile-helper-OOM workaround for big sliding-window programs,
+    bench.py ensemble lane): outputs must match the unchunked runner
+    bit-for-bit-ish, including the padded final chunk."""
+    from pb_sed_tpu.models.base.ensemble import StackedEnsemble
+    provider, models, db, tmp_path = setup
+    batch = next(iter(provider.get_validate_set()))
+    n = np.shape(batch['seq_len'])[0]
+    assert n >= 3, 'fixture batch too small to exercise a partial chunk'
+    whole = StackedEnsemble(models)
+    chunked = StackedEnsemble(models, chunk_size=2)
+    for method in ('tagging', 'sound_event_detection'):
+        kw = {'window_length': 5} if method != 'tagging' else {}
+        y_w, sl_w = getattr(whole, method)(batch, **kw)
+        y_c, sl_c = getattr(chunked, method)(batch, **kw)
+        np.testing.assert_allclose(y_c, y_w, atol=2e-5, err_msg=method)
+        np.testing.assert_array_equal(sl_c, sl_w)
+
+
 def test_inference_auto_mesh_is_the_production_default(setup, monkeypatch):
     """VERDICT r2 #1: the generic engine (and therefore every experiment
     CLI calling base.tagging/boundaries_detection/sound_event_detection)
