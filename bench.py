@@ -178,6 +178,49 @@ def lane_train(results):
             print(f'multi-step k={k} skipped: {exc!r}', file=sys.stderr)
 
 
+def lane_deep(results):
+    """Deep width-2 recipe train step (the reference's best-quality
+    config — AudioSet pre-training / 'with external data' rows,
+    reference ``experiments/weak_label_crnn/training.py:158-185``):
+    bs=16 with BOTH TPU kernels active (split-backward Pallas GRU at
+    H=512, packed conv tower with residual windows + channel-blocked
+    pools). Trace-timed via module spans (wall is untrustworthy on the
+    tunnel, CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _batch
+    from pb_sed_tpu.models import weak_label
+    from pb_sed_tpu.models.net_configs import fbcrnn_config
+    from pb_sed_tpu.train.trainer import Trainer
+
+    deep_bs = 16
+    config = weak_label.CRNN.get_config(
+        fbcrnn_config(net_config='deep', num_events=10))
+    model = weak_label.CRNN.from_config(config)
+    trainer = Trainer(model, storage_dir=None,
+                      stop_trigger=(10 ** 9, 'iteration'))
+    batch = _batch(model, batch_size=deep_bs, seconds=SECONDS)
+    trainer._ensure_ready(batch)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    for _ in range(3):
+        trainer.train_step(batch)
+    jax.block_until_ready(trainer.model.variables)
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        jax.profiler.start_trace(td)
+        for _ in range(6):
+            trainer.train_step(batch)
+        jax.block_until_ready(trainer.model.variables)
+        jax.profiler.stop_trace()
+        from bench_xplane import device_step_times_ms
+        times = device_step_times_ms(td)
+    if times:
+        span = float(np.median(times))
+        results['deep_device_ms_per_step'] = round(span, 3)
+        results['deep_train_clips_per_s_chip'] = round(
+            deep_bs / (span / 1e3) / jax.device_count(), 2)
+
+
 def lane_ensemble(results, n_models=10):
     """10-model ensemble sliding-window SED (pseudo-labeling workload),
     through the PRODUCTION path (``default_ensemble_mesh`` — same mesh
@@ -350,6 +393,54 @@ def lane_host(results):
         dt = time.perf_counter() - t0
         results['host_only_clips_per_s'] = round(clips / dt, 2)
 
+        # per-STAGE breakdown (sequential, VERDICT r3 #4): attributes
+        # the host ms/clip to decode+augment vs transform vs
+        # bucket+collate so the worker-scaling extrapolation is
+        # principled (the parallelizable stage is the rng-free decode)
+        provider.train_fetcher.prefetch_workers = 0
+        provider.decode_workers = 0
+
+        def _clips_per_s(ds, passes=2):
+            for _ in ds:  # warm caches
+                pass
+            n = 0
+            t0 = time.perf_counter()
+            for _ in range(passes):
+                for item in ds:
+                    n += (len(item['example_id'])
+                          if isinstance(item, dict)
+                          and isinstance(item.get('example_id'), list)
+                          else 1)
+            return round(n / (time.perf_counter() - t0), 2)
+
+        try:
+            results['host_stage_decode_aug_clips_per_s'] = _clips_per_s(
+                provider.prepare_audio(provider.train_set, train=True))
+            results['host_stage_plus_transform_clips_per_s'] = \
+                _clips_per_s(provider.segment_transform_and_fetch(
+                    provider.prepare_audio(provider.train_set,
+                                           train=True),
+                    fetch=False, train=True))
+        except Exception as exc:  # noqa: BLE001 — evidence only
+            print(f'host stage breakdown skipped: {exc!r}',
+                  file=sys.stderr)
+
+        # decode-workers axis (ordered thread-pool decode,
+        # lazy.ParallelMapDataset; the wav decode releases the GIL so
+        # the curve scales with CORES — on this 1-vCPU bench host it
+        # documents the environmental cap, not the mechanism's limit)
+        by_workers = {}
+        for w in (0, 2, 4):
+            provider.decode_workers = w
+            try:
+                by_workers[str(w)] = _clips_per_s(
+                    provider.get_train_set(), passes=1)
+            except Exception as exc:  # noqa: BLE001
+                print(f'decode_workers={w} skipped: {exc!r}',
+                      file=sys.stderr)
+        provider.decode_workers = 0
+        results['host_only_clips_per_s_by_decode_workers'] = by_workers
+
 
 def _flagship_model_for_events(provider):
     """Flagship model resized to the synthetic DB's class count."""
@@ -485,8 +576,8 @@ def lane_pallas(results):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        '--lanes', default='train,ensemble,host,profile,pallas',
-        help='comma list: train,ensemble,host,profile,pallas')
+        '--lanes', default='train,deep,ensemble,host,profile,pallas',
+        help='comma list: train,deep,ensemble,host,profile,pallas')
     args = parser.parse_args()
     lanes = args.lanes.split(',')
     sys.path.insert(0, '.')
@@ -503,7 +594,8 @@ def main():
     budget_s = float(os.environ.get('BENCH_BUDGET_S', 2700))
     t_start = time.perf_counter()
     results = {}
-    for name, fn in (('train', lane_train), ('ensemble', lane_ensemble),
+    for name, fn in (('train', lane_train), ('deep', lane_deep),
+                     ('ensemble', lane_ensemble),
                      ('host', lane_host), ('profile', lane_profile),
                      ('pallas', lane_pallas)):
         if name not in lanes:

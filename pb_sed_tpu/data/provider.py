@@ -169,6 +169,11 @@ class DataProvider(Configurable):
     # example-level sharding runs after the audio map)
     epoch_shuffle_seed: int = None
     raw_shard: tuple = None
+    # wav decode on an ordered thread pool (lazy.ParallelMapDataset):
+    # the decode draws no randomness and the native loader releases the
+    # GIL, so workers scale with host cores while the stream stays
+    # bit-identical to the sequential map. 0/1 = sequential.
+    decode_workers: int = 0
 
     def __post_init__(self):
         assert self.json_path is not None, 'json_path required'
@@ -260,7 +265,8 @@ class DataProvider(Configurable):
 
     def _decode(self, raw, name=None):
         """Raw -> decoded-audio dataset (+ optional eager cache)."""
-        decoded = raw.map(self.audio_reader)
+        decoded = raw.map(self.audio_reader,
+                          num_workers=self.decode_workers)
         if name is not None:
             if name in (self.cached_datasets or ()):
                 decoded = decoded.cache(lazy=False)

@@ -57,6 +57,79 @@ def test_shuffle_and_prefetch():
     assert sorted(local) == list(range(50))
 
 
+def test_parallel_map_matches_sequential():
+    """Ordered thread-pool map (host-pipeline worker scaling): values
+    and ORDER are bit-identical to the sequential map, exceptions
+    propagate, and an early consumer exit doesn't hang the pool."""
+    import time
+
+    def slow_square(x):
+        # stagger completion so out-of-order completions are real
+        time.sleep(0.002 * (x % 5))
+        return x * x
+
+    ds = lazy.from_list(list(range(40)))
+    seq = list(ds.map(slow_square))
+    par = ds.map(slow_square, num_workers=4)
+    assert list(par) == seq
+    assert list(par) == seq  # re-iterable
+    assert len(par) == 40 and par[3] == 9  # indexing stays lazy
+    # order preserved under downstream prefetch (the production stack)
+    assert list(par.prefetch(2, 4)) == seq
+
+    def boom(x):
+        if x == 7:
+            raise ValueError('boom')
+        return x
+
+    with pytest.raises(ValueError, match='boom'):
+        list(ds.map(boom, num_workers=3))
+    # early exit: taking a few items then dropping the iterator must
+    # not deadlock the puller (bounded queue backpressure)
+    it = iter(ds.map(slow_square, num_workers=3))
+    got = [next(it) for _ in range(5)]
+    assert got == seq[:5]
+    del it
+
+
+def test_provider_parallel_decode_is_bit_identical(tmp_path):
+    """decode_workers parallelizes ONLY the rng-free decode map: the
+    assembled batch stream must match the sequential provider bit for
+    bit (multi-host identical-pipeline contract, fetcher.py)."""
+    db, json_path = build_database(tmp_path)
+    common = {
+        'json_path': str(json_path),
+        'train_set': {'train_strong': 1, 'train_weak': 1},
+        'min_audio_length': 0.2,
+        'storage_dir': str(tmp_path),
+        'epoch_shuffle_seed': 7,
+        'train_transform': {
+            'stft': {'shift': 160, 'window_length': 480, 'size': 512},
+        },
+        'train_fetcher': {'batch_size': 4, 'pad_to_multiple': 16,
+                          'prefetch_workers': 0},
+        'test_fetcher': {'batch_size': 4, 'prefetch_workers': 0},
+        'mix_interval': 2.,
+    }
+
+    def batches(decode_workers):
+        provider = DataProvider.from_config(DataProvider.get_config(
+            dict(common, decode_workers=decode_workers)))
+        provider.train_transform.label_encoder.initialize_labels(
+            dataset=provider.db.get_dataset(
+                ['train_strong', 'train_weak']))
+        provider.test_transform.label_encoder.initialize_labels()
+        return list(provider.get_train_set())
+
+    seq, par = batches(0), batches(4)
+    assert len(seq) == len(par)
+    for bs, bp in zip(seq, par):
+        assert bs['example_id'] == bp['example_id']
+        np.testing.assert_array_equal(bs['audio_data'], bp['audio_data'])
+        np.testing.assert_array_equal(bs['weak_targets'],
+                                      bp['weak_targets'])
+
+
 # ----------------------------------------------------------------------
 # audio
 # ----------------------------------------------------------------------
