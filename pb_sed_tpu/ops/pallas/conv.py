@@ -104,6 +104,17 @@ _PATCH_LIMIT_BYTES = 6 * 1024 * 1024
 # measured-rejected one >= 12.95 MB — 12.5 MB splits them with margin
 # on both sides of the 16 MB scoped-VMEM hardware limit.
 _VMEM_DIR_TARGET_BYTES = int(12.5 * 1024 * 1024)
+# The CHANNEL-BLOCKED taps path gets its own target. v5e calibration
+# (round 4, scripts/perf/conv_cblock_calib.py): STANDALONE, every
+# config modeled <= 13.25 MB compiles and >= 15.25 MB is rejected —
+# but standalone calibration misses IN-SITU scoped-VMEM pressure:
+# inside the full deep train step the 13.12 MB-modeled L14 fwd tc=4
+# kernel (standalone-real ~15.99 MB) OOMs by 44 KB because XLA
+# co-schedules async copies whose scoped allocations share the 16 MB
+# stack. 12.75 MB rejects that config and keeps the largest
+# in-situ-validated one (L14 bwd tc=2, modeled 12.50 MB); the cost is
+# +0.13 ms on L14 fwd (tc=2 0.996 ms vs tc=4 0.869 ms standalone).
+_VMEM_CB_TARGET_BYTES = int(12.75 * 1024 * 1024)
 
 
 def _max_block_lanes(k, cmax, ls, halo=0):
@@ -462,6 +473,114 @@ def _fwd_kernel(x_ref, w_ref, b_ref, y_ref, patch, *scratch, g, cin,
     y_ref[0, :, :] = acc.astype(y_ref.dtype)
 
 
+def _cb_of(c):
+    """Channel block of the CHANNEL-BLOCKED tap-wise path: the grid
+    gains a third (channel-block) axis so the VMEM footprint scales
+    with a 128-channel slab of the patched source instead of the full
+    channel count — the full-source residency (plus Mosaic's window-
+    slice copy) is what locked Cin/Cout >= 256 layers into tc=1 blocks
+    or out of the packed tower entirely (deep L14 ran 20 ms/step of a
+    74 ms step at tc=1; L16 fell back to XLA). 0 = path not applicable
+    (the unblocked kernels handle c <= 128)."""
+    return 128 if (c % 128 == 0 and c > 128) else 0
+
+
+def _fwd_kernel_cb(x_ref, w_ref, b_ref, y_ref, xr_t, tmp, acc, *, g, cb,
+                   nc, cout, use_bias, nb):
+    """Channel-blocked tap-wise forward: grid (example, row-block,
+    cin-block), cin-block INNERMOST. Each step contracts one
+    128-channel slab of the source into the persistent f32 accumulator
+    scratch; the last cin step adds bias, masks and writes the output
+    block. x_ref (1, cb, Ls) bf16 (tiled over ci, revisited over ti),
+    w_ref (1, cout, kt*kf*cb) bf16 tiled over ci, acc (cout, tc*Fs)
+    f32 scratch."""
+    ti = pl.program_id(1)
+    ci = pl.program_id(2)
+    lb = g.tc * g.fs
+
+    @pl.when(ci == 0)
+    def _zero_acc():
+        acc[:] = jnp.zeros_like(acc)
+
+    for blk in range(nb):
+
+        @pl.when(ti == blk)
+        def _do(blk=blk):
+            t0 = blk * g.tc
+            _fill_shifts(x_ref, xr_t, g, cb, t0)
+            part = jnp.zeros((cout, lb), jnp.float32)
+            for dt in range(g.kt):
+                for df in range(g.kf):
+                    op = _tap_op(x_ref, xr_t, tmp, g, cb, t0, dt, df)
+                    if op is None:
+                        continue
+                    kk = dt * g.kf + df
+                    part = part + jnp.dot(
+                        w_ref[0, :, kk * cb:(kk + 1) * cb], op,
+                        preferred_element_type=jnp.float32)
+            acc[:] += part
+
+            @pl.when(ci == nc - 1)
+            def _write():
+                a = acc[:]
+                if use_bias:
+                    a = a + b_ref[:]
+                a = a * _out_mask(g, lb, t0, jnp.float32)
+                y_ref[0, :, :] = a.astype(y_ref.dtype)
+
+
+def _bwd_kernel_cb(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, xr_t, tmp,
+                   dxacc, *, g, cb, nc, cin, nb):
+    """Channel-blocked tap-wise fused backward: grid (example,
+    row-block, cout-block), cout-block INNERMOST. dx accumulates over
+    cout blocks in the persistent f32 scratch (masked + written at the
+    last block); each step accumulates its own column block of the
+    blocked dwt output (zeroed on its first visit). w_ref
+    (1, cin, kt*kf*cb) flipped+transposed weight block, gm_ref
+    (1, cb, Ls) pre-masked cotangent slab, dwt_ref (1, cin, kt*kf*cb)
+    f32 revisited."""
+    b_idx = pl.program_id(0)
+    ti = pl.program_id(1)
+    co = pl.program_id(2)
+    lb = g.tc * g.fs
+
+    @pl.when((b_idx == 0) & (ti == 0))
+    def _zero_dwt():
+        dwt_ref[:] = jnp.zeros_like(dwt_ref)
+
+    @pl.when(co == 0)
+    def _zero_acc():
+        dxacc[:] = jnp.zeros_like(dxacc)
+
+    for blk in range(nb):
+
+        @pl.when(ti == blk)
+        def _do(blk=blk):
+            t0 = blk * g.tc
+            _fill_shifts(gm_ref, xr_t, g, cb, t0)
+            xb = x_ref[0, :, :]
+            part = jnp.zeros((cin, lb), jnp.float32)
+            for dt in range(g.kt):
+                for df in range(g.kf):
+                    op = _tap_op(gm_ref, xr_t, tmp, g, cb, t0, dt, df)
+                    if op is None:
+                        continue
+                    kk = dt * g.kf + df
+                    part = part + jnp.dot(
+                        w_ref[0, :, kk * cb:(kk + 1) * cb], op,
+                        preferred_element_type=jnp.float32)
+                    dwt_ref[0, :, kk * cb:(kk + 1) * cb] += \
+                        jax.lax.dot_general(
+                            xb, op, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+            dxacc[:] += part
+
+            @pl.when(co == nc - 1)
+            def _write():
+                dx = dxacc[:] * _out_mask(g, lb, t0, jnp.float32)
+                dx_ref[0, :, :] = dx.astype(dx_ref.dtype)
+
+
 def _bwd_kernel(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, patch, *scratch,
                 g, cin, cout, nb, taps=False):
     """Fused dx+dw per (example, time-block) grid step — BOTH gradients
@@ -577,6 +696,38 @@ def _fwd_packed(x2, w, b, geom, interpret):
     rot = _use_rot(g)
     taps = _use_taps(g, cin)
     span = (g.tc + g.kt - 1) * g.fs
+    cb = _cb_of(cin) if taps else 0
+    if cb:
+        nc = cin // cb
+        w_b = w.reshape(kt, kf, nc, cb, cout).transpose(
+            2, 4, 0, 1, 3).reshape(nc, cout, kt * kf * cb).astype(
+                jnp.bfloat16)
+        kernel = functools.partial(
+            _fwd_kernel_cb, g=g, cb=cb, nc=nc, cout=cout,
+            use_bias=b is not None, nb=nb)
+        y = pl.pallas_call(
+            kernel,
+            grid=(bsz, nb, nc),
+            in_specs=[
+                pl.BlockSpec((1, cb, g.ls),
+                             lambda bi, ti, ci: (bi, ci, 0)),
+                pl.BlockSpec((1, cout, kt * kf * cb),
+                             lambda bi, ti, ci: (ci, 0, 0)),
+                pl.BlockSpec((cout, 1), lambda bi, ti, ci: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, cout, lb),
+                                   lambda bi, ti, ci: (bi, 0, ti)),
+            out_shape=jax.ShapeDtypeStruct((bsz, cout, nb * lb),
+                                           jnp.bfloat16),
+            scratch_shapes=[
+                pltpu.VMEM(((g.kf - 1) * cb, span), jnp.bfloat16),
+                pltpu.VMEM((cb, lb), jnp.bfloat16),
+                pltpu.VMEM((cout, lb), jnp.float32),
+            ],
+            interpret=interpret,
+        )(x2.astype(jnp.bfloat16), w_b, b2)
+        assert y.shape[-1] == g.ls, (y.shape, g)
+        return y
     if taps:
         scratch = [pltpu.VMEM(((g.kf - 1) * cin, span), jnp.bfloat16),
                    pltpu.VMEM((cin, lb), jnp.bfloat16)]
@@ -628,6 +779,50 @@ def _bwd_fused(x2, gm2, w, geom, interpret):
     rot = _use_rot(g)
     taps = _use_taps(g, cout)
     span = (g.tc + g.kt - 1) * g.fs
+    cb = _cb_of(cout) if taps else 0
+    if cb:
+        nc = cout // cb
+        w_fb = w_flip.reshape(kt, kf, nc, cb, cin).transpose(
+            2, 4, 0, 1, 3).reshape(nc, cin, kt * kf * cb).astype(
+                jnp.bfloat16)
+        kernel = functools.partial(
+            _bwd_kernel_cb, g=g, cb=cb, nc=nc, cin=cin, nb=nb)
+        dx, dwt_b = pl.pallas_call(
+            kernel,
+            grid=(bsz, nb, nc),
+            in_specs=[
+                pl.BlockSpec((1, cin, kt * kf * cb),
+                             lambda bi, ti, co: (co, 0, 0)),
+                pl.BlockSpec((1, cin, lb),
+                             lambda bi, ti, co: (bi, 0, ti)),
+                pl.BlockSpec((1, cb, g.ls),
+                             lambda bi, ti, co: (bi, co, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, cin, lb),
+                             lambda bi, ti, co: (bi, 0, ti)),
+                pl.BlockSpec((1, cin, kt * kf * cb),
+                             lambda bi, ti, co: (co, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bsz, cin, nb * lb), jnp.bfloat16),
+                jax.ShapeDtypeStruct((nc, cin, kt * kf * cb),
+                                     jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM(((g.kf - 1) * cb, span), jnp.bfloat16),
+                pltpu.VMEM((cb, lb), jnp.bfloat16),
+                pltpu.VMEM((cin, lb), jnp.float32),
+            ],
+            interpret=interpret,
+        )(w_fb, x2.astype(jnp.bfloat16), gm2.astype(jnp.bfloat16))
+        assert dx.shape[-1] == g.ls, (dx.shape, g)
+        # (nc, cin, (dt', df', cb)) -> (cin, kt, kf, cout), then the
+        # same tap un-flip as the unblocked path below
+        dwt4 = dwt_b.reshape(nc, cin, kt, kf, cb).transpose(
+            1, 2, 3, 0, 4).reshape(cin, kt, kf, cout)
+        dw = dwt4[:, ::-1, ::-1, :].transpose(1, 2, 0, 3)
+        return dx, dw
     if taps:
         scratch = [pltpu.VMEM(((g.kf - 1) * cout, span), jnp.bfloat16),
                    pltpu.VMEM((cout, lb), jnp.bfloat16)]
@@ -743,6 +938,27 @@ def _fm_dir_bytes(tc, fs, ls, rk, lk, cin, cout, bwd):
         n += 4 * cd * k         # dwt f32 accumulator (revisited)
     else:
         n += 4 * cd * lb        # out tile, double-buffered bf16
+    if fs % 128 == 0 and lk > 1 and _cb_of(cs):
+        # CHANNEL-BLOCKED taps path: everything sourced from the
+        # patched side scales with the 128-channel slab, the produced
+        # side gains a persistent f32 accumulator scratch. Slabs and
+        # the weight block are tiled over the channel grid axis
+        # (double-buffered); the Mosaic window-slice copy charge of
+        # the unblocked path applies to the slab.
+        cbk = _cb_of(cs)
+        kb = rk * lk * cbk
+        n = 4 * cbk * ls            # source slab bf16, double-buffered
+        n += 2 * cbk * ls           # window-slice copy (measured, see
+        #                             the unblocked charge below)
+        n += 4 * cd * kb            # weight block bf16, double-buffered
+        n += 4 * cd * lb            # f32 accumulator scratch
+        if bwd:
+            n += 8 * cd * lb        # x + dx tiles bf16, double-buffered
+            n += 4 * cd * kb        # dwt f32 column block (revisited)
+        else:
+            n += 4 * cd * lb        # out tile bf16, double-buffered
+        n += 2 * (lk - 1) * cbk * span + 2 * cbk * lb  # xr + tmp
+        return n
     if fs % 128 == 0 and lk > 1 and cs % 128 == 0:  # taps path
         n += 2 * (lk - 1) * cs * span + 2 * cs * lb   # xr + tmp
         # the taps path reads the revisited source through per-tap
@@ -757,6 +973,16 @@ def _fm_dir_bytes(tc, fs, ls, rk, lk, cin, cout, bwd):
     else:                                             # legacy build
         n += 2 * k * lb
     return n
+
+
+def _fm_dir_fits(tc, fs, ls, rk, lk, cin, cout, bwd):
+    """Whether one direction's modeled footprint fits its calibrated
+    target — the channel-blocked branch gets `_VMEM_CB_TARGET_BYTES`,
+    everything else `_VMEM_DIR_TARGET_BYTES` (separately calibrated)."""
+    cs = cout if bwd else cin
+    blocked = fs % 128 == 0 and lk > 1 and _cb_of(cs)
+    target = _VMEM_CB_TARGET_BYTES if blocked else _VMEM_DIR_TARGET_BYTES
+    return _fm_dir_bytes(tc, fs, ls, rk, lk, cin, cout, bwd) <= target
 
 
 def fm_geom(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None):
@@ -791,20 +1017,30 @@ def fm_geom(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None):
         # wins 11-18% at L6/L7 blocks whose backward does not compile).
         for d in range(1, f_bins + 1):
             if f_bins % d == 0:
-                if _fm_dir_bytes(d, ts, f_bins * ts, kf, kt, ci, co,
-                                 False) <= _VMEM_DIR_TARGET_BYTES:
+                if _fm_dir_fits(d, ts, f_bins * ts, kf, kt, ci, co,
+                                False):
                     fc = d
-        # BACKWARD block from the legacy whole-footprint model
-        # (production-validated): the per-direction backward model
-        # under-counts the taps path — measured on v5e: shallow L7
-        # (128->128, F=16) modeled 12.34 MB at tc=8, real 17.05 MB
-        # (1.05 MB over the 16 MB hardware limit). Also clamped to the
-        # forward block (larger-backward blocks are uncalibrated).
-        budget = max(1, _max_block_lanes(
-            kt * kf * c, c, f_bins * ts, halo=(kf - 1) * ts) // ts)
-        for d in range(1, f_bins + 1):
-            if f_bins % d == 0 and d <= min(budget, fc):
-                fb = d
+        # BACKWARD block: the channel-blocked model when the cotangent
+        # side is blockable (cout >= 256, 128-multiple — its footprint
+        # scales with the 128-channel slab), else the legacy whole-
+        # footprint model (production-validated: the per-direction
+        # backward model under-counts the UNBLOCKED taps path —
+        # measured on v5e: shallow L7 (128->128, F=16) modeled
+        # 12.34 MB at tc=8, real 17.05 MB, 1.05 MB over the 16 MB
+        # hardware limit). Either way clamped to the forward block
+        # (larger-backward blocks are uncalibrated).
+        if _cb_of(co) and kt > 1:  # lane-kernel extent in geom roles
+            for d in range(1, f_bins + 1):
+                if f_bins % d == 0 and d <= fc:
+                    if _fm_dir_fits(d, ts, f_bins * ts, kf, kt, ci,
+                                    co, True):
+                        fb = d
+        else:
+            budget = max(1, _max_block_lanes(
+                kt * kf * c, c, f_bins * ts, halo=(kf - 1) * ts) // ts)
+            for d in range(1, f_bins + 1):
+                if f_bins % d == 0 and d <= min(budget, fc):
+                    fb = d
         g = _with_tc(f_bins, t_frames, kf, kt, fc, fs=ts)
         return g._replace(tcb=fb) if fb != fc else g
     budget = max(1, _max_block_lanes(
@@ -838,9 +1074,17 @@ def fm_supported(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None):
                                    halo=(kf - 1) * ts) >= ts)
     if cin is not None and cout is not None:
         ci, co = max(cin, 8), max(cout, 8)
-        return legacy and _fm_dir_bytes(
-            1, ts, f_bins * ts, kf, kt, ci, co, False
-        ) <= _VMEM_DIR_TARGET_BYTES
+        fwd_ok = _fm_dir_fits(
+            1, ts, f_bins * ts, kf, kt, ci, co, False)
+        if _cb_of(co) and kt > 1:
+            # channel-blocked backward: its own footprint model is the
+            # gate (the legacy whole-footprint model charges the FULL
+            # revisited source the blocked kernel never holds — it
+            # would veto exactly the layers the blocking admits)
+            bwd_ok = _fm_dir_fits(
+                1, ts, f_bins * ts, kf, kt, ci, co, True)
+            return fwd_ok and bwd_ok
+        return legacy and fwd_ok
     return legacy
 
 

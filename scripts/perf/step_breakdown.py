@@ -8,7 +8,8 @@ gapless: see stall_gaps_ms). This is the tool that located the
 round-2 sort-lowered gathers, the round-3 GRU f32-residual stalls and
 the 1.93 ms emulated-rfft STFT.
 
-Usage: python scripts/perf/step_breakdown.py [trace_dir]
+Usage: python scripts/perf/step_breakdown.py [trace_dir] [net] [bs]
+(net: shallow|deep, default shallow; bs default 32 shallow / 16 deep)
 """
 import os
 import re
@@ -39,12 +40,15 @@ td = sys.argv[1] if len(sys.argv) > 1 else '/tmp/trace_breakdown'
 if os.path.isdir(td):
     shutil.rmtree(td)
 
-cfg = fbcrnn_config(net_config='shallow', num_events=10)
+net = sys.argv[2] if len(sys.argv) > 2 else 'shallow'
+bs = int(sys.argv[3]) if len(sys.argv) > 3 else (16 if net == 'deep'
+                                                 else 32)
+cfg = fbcrnn_config(net_config=net, num_events=10)
 config = weak_label.CRNN.get_config(cfg)
 model = weak_label.CRNN.from_config(config)
 trainer = Trainer(model, storage_dir=None,
                   stop_trigger=(10 ** 9, 'iteration'))
-batch = _batch(model, batch_size=32, seconds=10.)
+batch = _batch(model, batch_size=bs, seconds=10.)
 t0 = time.perf_counter()
 trainer._ensure_ready(batch)
 batch = {k: jnp.asarray(v) for k, v in batch.items()}

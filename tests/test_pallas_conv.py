@@ -532,6 +532,68 @@ def test_bwd_block_override_matches_default(interpret_mode):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize('cin,cout', [(256, 256), (256, 512),
+                                      (128, 256)])
+def test_channel_blocked_taps_matches_xla(interpret_mode, cin, cout):
+    """The channel-blocked tap-wise kernels (Cin/Cout >= 256: grid
+    gains a 128-channel axis, f32 accumulation across channel blocks —
+    the big-channel deep-tower layers) match the XLA conv path in
+    forward AND gradients. These channel counts previously ran tc=1
+    blocks (256->256) or fell back to XLA entirely (256->512)."""
+    rng = np.random.RandomState(21)
+    t, f = 12, 8
+    x = _rand(rng, 2, t, f, cin) * .3
+    w = _rand(rng, 3, 3, cin, cout) / (3. * np.sqrt(cin))
+    b = _rand(rng, cout) * .1
+    g = pconv.fm_geom(t, f, 3, 3, max(cin, cout), cin=cin, cout=cout)
+    # the blocked path must actually engage on both directions it
+    # applies to (fwd: cin, bwd: cout)
+    assert pconv._cb_of(cin) or pconv._cb_of(cout)
+    gy = _rand(rng, 2, t, f, cout)
+
+    def loss_packed(x, w, b):
+        y2 = pconv.conv2d_packed_fm(pconv.pack_fm(x, g), w, b, g, True)
+        return jnp.sum(pconv.unpack_fm(y2, g, jnp.float32) * gy)
+
+    def loss_ref(x, w, b):
+        return jnp.sum(_xla_conv(x, w, b).astype(jnp.float32) * gy)
+
+    y_p = pconv.unpack_fm(
+        pconv.conv2d_packed_fm(pconv.pack_fm(x, g), w, b, g, True), g,
+        jnp.float32)
+    y_r = np.asarray(_xla_conv(x, w, b), dtype=np.float32)
+    atol = 1e-4 + 1.2e-2 * float(np.max(np.abs(y_r)))
+    np.testing.assert_allclose(np.asarray(y_p), y_r, atol=atol)
+
+    grads_p = jax.grad(loss_packed, argnums=(0, 1, 2))(x, w, b)
+    grads_r = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    # db: the XLA reference sums the cotangent through its bf16 bias
+    # add (quantized per element); at 256+ channels the accumulated
+    # reference noise needs the wider bound — the packed f32 db is the
+    # more accurate side (same caveat as
+    # test_conv2d_packed_fm_gradients)
+    for gp, gr, tol in zip(grads_p, grads_r, (3.5e-2, 3.5e-2, 8e-2)):
+        gr = np.asarray(gr, dtype=np.float32)
+        atol = 1e-4 + tol * float(np.max(np.abs(gr)))
+        np.testing.assert_allclose(
+            np.asarray(gp, dtype=np.float32), gr, atol=atol)
+
+
+def test_channel_blocked_chooser_admits_deep_tail():
+    """The footprint model admits the deep tower's big-channel layers
+    (L14 256->256, L16 256->512 — previously tc=1 / unsupported) with
+    multi-row blocks, and keeps the calibrated sub-256 geometries
+    unchanged."""
+    g14 = pconv.fm_geom(500, 16, 3, 3, 256, cin=256, cout=256)
+    assert g14.tc >= 2
+    assert pconv.fm_supported(500, 8, 3, 3, 512, cin=256, cout=512)
+    g16 = pconv.fm_geom(500, 8, 3, 3, 512, cin=256, cout=512)
+    assert g16.tc >= 2
+    # calibrated small-channel geometry unchanged by the new branch
+    g7 = pconv.fm_geom(500, 16, 3, 3, 128, cin=128, cout=128)
+    assert (g7.tc, g7.tcb) == (8, 4)
+
+
 def test_packed_plan_gating(interpret_mode):
     """Dropout / non-batch norm fall back to the unpacked path; time
     pools bound the packed WINDOW; residuals pack (carried as packed
