@@ -529,24 +529,24 @@ def _fwd_kernel_cb(x_ref, w_ref, b_ref, y_ref, xr_t, tmp, acc, *, g, cb,
                 y_ref[0, :, :] = a.astype(y_ref.dtype)
 
 
-def _bwd_kernel_cb(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, xr_t, tmp,
-                   dxacc, *, g, cb, nc, cin, nb):
-    """Channel-blocked tap-wise fused backward: grid (example,
-    row-block, cout-block), cout-block INNERMOST. dx accumulates over
-    cout blocks in the persistent f32 scratch (masked + written at the
-    last block); each step accumulates its own column block of the
-    blocked dwt output (zeroed on its first visit). w_ref
-    (1, cin, kt*kf*cb) flipped+transposed weight block, gm_ref
-    (1, cb, Ls) pre-masked cotangent slab, dwt_ref (1, cin, kt*kf*cb)
-    f32 revisited."""
-    b_idx = pl.program_id(0)
+def _bwd_dx_kernel_cb(w_ref, gm_ref, dx_ref, xr_t, tmp, dxacc, *, g,
+                      cb, nc, cin, nb):
+    """Channel-blocked tap-wise dx: grid (example, row-block,
+    cout-block), cout-block INNERMOST. dx accumulates over cout blocks
+    in the persistent f32 scratch (masked + written at the last
+    block). w_ref (1, cin, kt*kf*cb) flipped+transposed weight block,
+    gm_ref (1, cb, Ls) pre-masked cotangent slab.
+
+    dx and dw run as SEPARATE kernels on this path — measured on v5e
+    (scripts/perf/conv_cblock_bwd_probe.py, L14 tc=2): the fused
+    kernel is wildly superadditive, 7.55 ms vs dx-only 1.69 +
+    dw-only 1.72 (tap fills alone cost 1.64, each gradient's matmuls
+    < 0.1 on top); re-ordering the taps into split loops inside one
+    kernel does NOT recover it (7.37 ms), so the cliff is having both
+    output windows + both accumulators live, not tap liveness."""
     ti = pl.program_id(1)
     co = pl.program_id(2)
     lb = g.tc * g.fs
-
-    @pl.when((b_idx == 0) & (ti == 0))
-    def _zero_dwt():
-        dwt_ref[:] = jnp.zeros_like(dwt_ref)
 
     @pl.when(co == 0)
     def _zero_acc():
@@ -558,7 +558,6 @@ def _bwd_kernel_cb(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, xr_t, tmp,
         def _do(blk=blk):
             t0 = blk * g.tc
             _fill_shifts(gm_ref, xr_t, g, cb, t0)
-            xb = x_ref[0, :, :]
             part = jnp.zeros((cin, lb), jnp.float32)
             for dt in range(g.kt):
                 for df in range(g.kf):
@@ -569,16 +568,45 @@ def _bwd_kernel_cb(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, xr_t, tmp,
                     part = part + jnp.dot(
                         w_ref[0, :, kk * cb:(kk + 1) * cb], op,
                         preferred_element_type=jnp.float32)
-                    dwt_ref[0, :, kk * cb:(kk + 1) * cb] += \
-                        jax.lax.dot_general(
-                            xb, op, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
             dxacc[:] += part
 
             @pl.when(co == nc - 1)
             def _write():
                 dx = dxacc[:] * _out_mask(g, lb, t0, jnp.float32)
                 dx_ref[0, :, :] = dx.astype(dx_ref.dtype)
+
+
+def _bwd_dw_kernel_cb(x_ref, gm_ref, dwt_ref, xr_t, tmp, *, g, cb,
+                      nb):
+    """Channel-blocked tap-wise dw: grid (example, row-block,
+    cout-block). Each step accumulates its own column block of the
+    blocked dwt output (zeroed on its first visit) from the forward
+    activation block x_ref (1, cin, lb) and the cotangent slab's tap
+    ops. See _bwd_dx_kernel_cb for why dx/dw are separate kernels."""
+    b_idx = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    @pl.when((b_idx == 0) & (ti == 0))
+    def _zero_dwt():
+        dwt_ref[:] = jnp.zeros_like(dwt_ref)
+
+    for blk in range(nb):
+
+        @pl.when(ti == blk)
+        def _do(blk=blk):
+            t0 = blk * g.tc
+            _fill_shifts(gm_ref, xr_t, g, cb, t0)
+            xb = x_ref[0, :, :]
+            for dt in range(g.kt):
+                for df in range(g.kf):
+                    op = _tap_op(gm_ref, xr_t, tmp, g, cb, t0, dt, df)
+                    if op is None:
+                        continue
+                    kk = dt * g.kf + df
+                    dwt_ref[0, :, kk * cb:(kk + 1) * cb] += \
+                        jax.lax.dot_general(
+                            xb, op, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
 
 
 def _bwd_kernel(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, patch, *scratch,
@@ -785,37 +813,47 @@ def _bwd_fused(x2, gm2, w, geom, interpret):
         w_fb = w_flip.reshape(kt, kf, nc, cb, cin).transpose(
             2, 4, 0, 1, 3).reshape(nc, cin, kt * kf * cb).astype(
                 jnp.bfloat16)
-        kernel = functools.partial(
-            _bwd_kernel_cb, g=g, cb=cb, nc=nc, cin=cin, nb=nb)
-        dx, dwt_b = pl.pallas_call(
-            kernel,
+        gm_bf = gm2.astype(jnp.bfloat16)
+        dx = pl.pallas_call(
+            functools.partial(_bwd_dx_kernel_cb, g=g, cb=cb, nc=nc,
+                              cin=cin, nb=nb),
             grid=(bsz, nb, nc),
             in_specs=[
                 pl.BlockSpec((1, cin, kt * kf * cb),
                              lambda bi, ti, co: (co, 0, 0)),
-                pl.BlockSpec((1, cin, lb),
-                             lambda bi, ti, co: (bi, 0, ti)),
                 pl.BlockSpec((1, cb, g.ls),
                              lambda bi, ti, co: (bi, co, 0)),
             ],
-            out_specs=[
-                pl.BlockSpec((1, cin, lb),
-                             lambda bi, ti, co: (bi, 0, ti)),
-                pl.BlockSpec((1, cin, kt * kf * cb),
-                             lambda bi, ti, co: (co, 0, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((bsz, cin, nb * lb), jnp.bfloat16),
-                jax.ShapeDtypeStruct((nc, cin, kt * kf * cb),
-                                     jnp.float32),
-            ],
+            out_specs=pl.BlockSpec((1, cin, lb),
+                                   lambda bi, ti, co: (bi, 0, ti)),
+            out_shape=jax.ShapeDtypeStruct((bsz, cin, nb * lb),
+                                           jnp.bfloat16),
             scratch_shapes=[
                 pltpu.VMEM(((g.kf - 1) * cb, span), jnp.bfloat16),
                 pltpu.VMEM((cb, lb), jnp.bfloat16),
                 pltpu.VMEM((cin, lb), jnp.float32),
             ],
             interpret=interpret,
-        )(w_fb, x2.astype(jnp.bfloat16), gm2.astype(jnp.bfloat16))
+        )(w_fb, gm_bf)
+        dwt_b = pl.pallas_call(
+            functools.partial(_bwd_dw_kernel_cb, g=g, cb=cb, nb=nb),
+            grid=(bsz, nb, nc),
+            in_specs=[
+                pl.BlockSpec((1, cin, lb),
+                             lambda bi, ti, co: (bi, 0, ti)),
+                pl.BlockSpec((1, cb, g.ls),
+                             lambda bi, ti, co: (bi, co, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, cin, kt * kf * cb),
+                                   lambda bi, ti, co: (co, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nc, cin, kt * kf * cb),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM(((g.kf - 1) * cb, span), jnp.bfloat16),
+                pltpu.VMEM((cb, lb), jnp.bfloat16),
+            ],
+            interpret=interpret,
+        )(x2.astype(jnp.bfloat16), gm_bf)
         assert dx.shape[-1] == g.ls, (dx.shape, g)
         # (nc, cin, (dt', df', cb)) -> (cin, kt, kf, cout), then the
         # same tap un-flip as the unblocked path below
@@ -953,6 +991,11 @@ def _fm_dir_bytes(tc, fs, ls, rk, lk, cin, cout, bwd):
         n += 4 * cd * kb            # weight block bf16, double-buffered
         n += 4 * cd * lb            # f32 accumulator scratch
         if bwd:
+            # the blocked backward runs as TWO kernels (dx, dw — see
+            # _bwd_dx_kernel_cb); charging their union here over-counts
+            # each single kernel, keeping the chooser conservative
+            # against in-situ scoped-VMEM pressure (the validated
+            # config is tc=2 at the deep shapes)
             n += 8 * cd * lb        # x + dx tiles bf16, double-buffered
             n += 4 * cd * kb        # dwt f32 column block (revisited)
         else:

@@ -32,7 +32,8 @@ KT = KF = 3
 
 
 def _kernel(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, xr_t, tmp, dxacc, *,
-            g, cb, nc, cin, nb, do_dx, do_dw, local_dw):
+            g, cb, nc, cin, nb, do_dx, do_dw, local_dw,
+            split_loops=False):
     b_idx = pl.program_id(0)
     ti = pl.program_id(1)
     co = pl.program_id(2)
@@ -53,6 +54,40 @@ def _kernel(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, xr_t, tmp, dxacc, *,
             t0 = blk * g.tc
             _ = pc._fill_shifts(gm_ref, xr_t, g, cb, t0)
             xb = x_ref[0, :, :]
+            if split_loops:
+                # two passes over the taps: dx matmuls first, then dw
+                # — each tap op recomputed, no tap value live across
+                # both consumers
+                part = jnp.zeros((cin, lb), jnp.float32)
+                for dt in range(g.kt):
+                    for df in range(g.kf):
+                        op = pc._tap_op(gm_ref, xr_t, tmp, g, cb, t0,
+                                        dt, df)
+                        if op is None:
+                            continue
+                        kk = dt * g.kf + df
+                        part = part + jnp.dot(
+                            w_ref[0, :, kk * cb:(kk + 1) * cb], op,
+                            preferred_element_type=jnp.float32)
+                dxacc[:] += part
+                for dt in range(g.kt):
+                    for df in range(g.kf):
+                        op = pc._tap_op(gm_ref, xr_t, tmp, g, cb, t0,
+                                        dt, df)
+                        if op is None:
+                            continue
+                        kk = dt * g.kf + df
+                        dwt_ref[0, :, kk * cb:(kk + 1) * cb] += \
+                            jax.lax.dot_general(
+                                xb, op, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+                @pl.when(co == nc - 1)
+                def _write_split():
+                    dx = dxacc[:] * pc._out_mask(g, lb, t0,
+                                                 jnp.float32)
+                    dx_ref[0, :, :] = dx.astype(dx_ref.dtype)
+                return
             part = jnp.zeros((cin, lb), jnp.float32)
             dw_parts = []
             for dt in range(g.kt):
@@ -87,7 +122,7 @@ def _kernel(w_ref, x_ref, gm_ref, dx_ref, dwt_ref, xr_t, tmp, dxacc, *,
                 dx_ref[0, :, :] = dx.astype(dx_ref.dtype)
 
 
-def build(g, do_dx, do_dw, local_dw):
+def build(g, do_dx, do_dw, local_dw, split_loops=False):
     cb = 128
     nc = COUT // cb
     nb = g.tp // g.tc
@@ -95,7 +130,7 @@ def build(g, do_dx, do_dw, local_dw):
     span = (g.tc + g.kt - 1) * g.fs
     kernel = functools.partial(
         _kernel, g=g, cb=cb, nc=nc, cin=CIN, nb=nb, do_dx=do_dx,
-        do_dw=do_dw, local_dw=local_dw)
+        do_dw=do_dw, local_dw=local_dw, split_loops=split_loops)
 
     @jax.jit
     def run(wb, x2, gm2):
@@ -161,15 +196,17 @@ def main():
     wb = w_flip.reshape(KT, KF, nc, cb, CIN).transpose(
         2, 4, 0, 1, 3).reshape(nc, CIN, KT * KF * cb).astype(
             jnp.bfloat16)
-    for label, do_dx, do_dw, local_dw in [
-            ('full(rmw-dw)', True, True, False),
-            ('full(local-dw)', True, True, True),
-            ('dx-only', True, False, False),
-            ('dw-only(rmw)', False, True, False),
-            ('dw-only(local)', False, True, True),
-            ('fills-only', False, False, False)]:
+    for label, do_dx, do_dw, local_dw, sl in [
+            ('full(rmw-dw)', True, True, False, False),
+            ('full(split-loops)', True, True, False, True),
+            ('full(local-dw)', True, True, True, False),
+            ('dx-only', True, False, False, False),
+            ('dw-only(rmw)', False, True, False, False),
+            ('dw-only(local)', False, True, True, False),
+            ('fills-only', False, False, False, False)]:
         try:
-            t = _time(build(g, do_dx, do_dw, local_dw), wb, x2, gm2)
+            t = _time(build(g, do_dx, do_dw, local_dw, sl), wb, x2,
+          gm2)
             print(f'{label}: {t:.3f} ms (tc={g.tc})', flush=True)
         except Exception as exc:  # noqa: BLE001
             print(f'{label}: FAIL {str(exc)[:120]}', flush=True)
