@@ -343,7 +343,16 @@ class ParallelMapDataset(Dataset):
                         except queue.Full:
                             continue
             except BaseException as exc:  # surfaced in consumer
-                q.put(('__error__', exc))
+                # same stop-aware timed put as the normal path: an
+                # unbounded blocking put would leak this daemon thread
+                # (and its pool) forever if the consumer already exited
+                # with the queue full (ADVICE r4)
+                while not stop.is_set():
+                    try:
+                        q.put(('__error__', exc), timeout=.1)
+                        break
+                    except queue.Full:
+                        continue
             finally:
                 try:
                     q.put_nowait(sentinel)

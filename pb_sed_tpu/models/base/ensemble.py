@@ -83,11 +83,17 @@ class StackedEnsemble:
             if lens and max(lens) > cs:
                 assert len(lens) == 1, lens
                 batch_len = lens.pop()
-                ys, sls = [], []
+                # per-example HOST lists (example_id/dataset) are sliced
+                # alongside the arrays so a method reading per-example
+                # metadata sees aligned rows (ADVICE r4: passing them
+                # whole was a silent misalignment trap)
+                lists = {k for k, v in batch.items()
+                         if isinstance(v, list) and len(v) == batch_len}
+                outs = []
                 for lo in range(0, batch_len, cs):
                     hi = min(lo + cs, batch_len)
                     chunk = {
-                        k: (v[lo:hi] if k in arrays else v)
+                        k: (v[lo:hi] if k in arrays or k in lists else v)
                         for k, v in batch.items()}
                     if hi - lo < cs:
                         # pad to the ONE static chunk shape by repeating
@@ -97,12 +103,19 @@ class StackedEnsemble:
                             k: (np.concatenate(
                                 [v, np.repeat(np.asarray(v)[-1:], pad,
                                               axis=0)], axis=0)
-                                if k in arrays else v)
+                                if k in arrays else
+                                v + v[-1:] * pad if k in lists else v)
                             for k, v in chunk.items()}
-                    y, sl = self._apply_chunk(chunk, method, **kwargs)
-                    ys.append(np.asarray(y)[:hi - lo])
-                    sls.append(np.asarray(sl)[:hi - lo]
-                               if np.ndim(sl) >= 1 else sl)
+                    outs.append(
+                        (hi - lo, self._apply_chunk(chunk, method,
+                                                    **kwargs)))
+                # convert AFTER every chunk is dispatched: np.asarray
+                # blocks on the device result, so converting inside the
+                # loop would serialize the chunks instead of letting
+                # async dispatch pipeline them (ADVICE r4)
+                ys = [np.asarray(y)[:n] for n, (y, _) in outs]
+                sls = [np.asarray(sl)[:n] if np.ndim(sl) >= 1 else sl
+                       for n, (_, sl) in outs]
                 y = np.concatenate(ys, axis=0)
                 sl = (np.concatenate(sls, axis=0)
                       if np.ndim(sls[0]) >= 1 else sls[0])

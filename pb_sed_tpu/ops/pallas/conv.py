@@ -582,7 +582,17 @@ def _bwd_dw_kernel_cb(x_ref, gm_ref, dwt_ref, xr_t, tmp, *, g, cb,
     cout-block). Each step accumulates its own column block of the
     blocked dwt output (zeroed on its first visit) from the forward
     activation block x_ref (1, cin, lb) and the cotangent slab's tap
-    ops. See _bwd_dx_kernel_cb for why dx/dw are separate kernels."""
+    ops. See _bwd_dx_kernel_cb for why dx/dw are separate kernels.
+
+    ASSUMPTION (validated on v5e, guarded by the TPU-gated
+    ``test_conv_cblock_grad_parity_tpu``): the += into dwt_ref relies
+    on Pallas-TPU revisited-output read-modify-write semantics across
+    NON-consecutive revisits — the output block's index map depends
+    only on the innermost grid dim (co), so the same block is revisited
+    once per (example, row-block) with other grid steps in between, and
+    Mosaic must preserve (not re-fetch/clobber) the accumulated values.
+    Grid execution is serial on TPU, so the accumulation order is
+    deterministic."""
     b_idx = pl.program_id(0)
     ti = pl.program_id(1)
 
@@ -1228,7 +1238,12 @@ def _pool_cblock(c, f_out, ts, bwd):
     per = (10 if bwd else 6) * f_out * ts * 2
     budget = 6 * 1024 * 1024
     cb = c
-    while cb > 8 and cb % 2 == 0 and per * cb > budget:
+    # halving must stop before the block loses 8-alignment: c=48 would
+    # otherwise yield cb=12 or 6, breaking the (8, 128) sublane tiling
+    # (ADVICE r4); production channel counts are powers of two and
+    # never hit this, but 16-multiples are legal inputs
+    while cb > 8 and cb % 2 == 0 and (cb // 2) % 8 == 0 \
+            and per * cb > budget:
         cb //= 2
     return cb
 

@@ -149,15 +149,26 @@ def _bwd_split_blocks(d, h, b):
 
       d*h = 512  (D=2, H=256): (32, 16) fits (~15.4 MB; the two-
                  weight-stack variant was 148 KB over, hence w_t-free)
+      d*h = 512  (D=1, H=512): keyed SEPARATELY (ADVICE r4) — the
+                 (h, d*3h) weight stacks scale with h, not d*h, so
+                 this point carries 2x the weight bytes of D=2/H=256.
+                 Probed B=32 T=501: (32, 16) fits standalone at
+                 1.391 ms, (32, 8) 1.376 ms with half the slab
+                 footprint (in-situ margin, PERFORMANCE.md calibration
+                 discipline), (8, 8) 3.049 ms -> (32, 8).
       d*h = 1024 (D=2, H=512): (16, 16) 3 MB over, (16, 8) 1.8 MB
                  over, (8, 8) fits (2.94 ms vs scan ~4.9 ms)
     """
     dh = d * h
+    if h > 256:
+        # large-h rows: weight stacks dominate — see the D=1/H=512
+        # calibration above; anything bigger only fits at (8, 8)
+        if dh <= 512:
+            return min(32, b), 8
+        return min(8, b), 8
     if dh <= 512:
         return min(32, b), 16
-    if dh <= 768:
-        return min(16, b), 16
-    return min(8, b), 8
+    return min(16, b), 16
 
 
 def _to_tm(xw):

@@ -696,6 +696,54 @@ def test_fbcrnn_packed_tower_wiring(interpret_mode):
 
 @pytest.mark.skipif(jax.default_backend() != 'tpu',
                     reason='needs a real TPU (run via bench.py)')
+def test_conv_cblock_grad_parity_tpu():
+    """Channel-blocked (cb=128) fwd + gradients vs the XLA conv ON
+    HARDWARE. The blocked dw kernel accumulates (+=) into an output
+    block revisited non-consecutively across (example, row-block) —
+    correctness rests on Pallas-TPU revisited-output read-modify-write
+    semantics, which interpret-mode CI cannot certify; a jax/Mosaic
+    upgrade changing them would silently corrupt dw (ADVICE r4). This
+    catches that on the chip."""
+    rng = np.random.RandomState(11)
+    b_, t, f, cin, cout = 2, 120, 8, 256, 256
+    x = _rand(rng, b_, t, f, cin)
+    w = _rand(rng, 3, 3, cin, cout) / (3. * np.sqrt(cin))
+    b = _rand(rng, cout) * .1
+    assert pconv._cb_of(max(cin, cout)) == 128  # path engages
+    assert pconv.fm_supported(t, f, 3, 3, max(cin, cout),
+                              cin=cin, cout=cout)
+    g = pconv.fm_geom(t, f, 3, 3, max(cin, cout), cin=cin, cout=cout)
+    x2 = pconv.pack_fm(x, g)
+    gy = _rand(rng, b_, t, f, cout)
+
+    @jax.jit
+    def fg_packed(x2_, w_, b_):
+        def loss(a, ww, bb):
+            y2 = pconv.conv2d_packed_fm(a, ww, bb, g)
+            y = pconv.unpack_fm(y2, g, jnp.float32)
+            return jnp.sum(y * gy)
+        return jax.grad(loss, argnums=(0, 1, 2))(x2_, w_, b_)
+
+    @jax.jit
+    def fg_xla(x_, w_, b_):
+        def loss(a, ww, bb):
+            return jnp.sum(_xla_conv(a, ww, bb).astype(jnp.float32)
+                           * gy)
+        return jax.grad(loss, argnums=(0, 1, 2))(x_, w_, b_)
+
+    dx2, dw_p, db_p = fg_packed(x2, w, b)
+    dx_p = pconv.unpack_fm(dx2, g, jnp.float32)
+    dx_r, dw_r, db_r = fg_xla(x, w, b)
+    for a, r, name in ((dx_p, dx_r, 'dx'), (dw_p, dw_r, 'dw'),
+                       (db_p, db_r, 'db')):
+        a, r = np.asarray(a, np.float32), np.asarray(r, np.float32)
+        scale = max(1e-6, float(np.max(np.abs(r))))
+        err = float(np.max(np.abs(a - r))) / scale
+        assert err < 3e-2, (name, err)
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='needs a real TPU (run via bench.py)')
 def test_conv_packed_native_tpu():
     """Non-interpret compile + parity of the packed tower on the chip."""
     x, seq_len = _tower_data(seed=10, b=2, t=40, f=32)
