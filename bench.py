@@ -461,6 +461,32 @@ def lane_host(results):
         provider.decode_workers = 0
         results['host_only_clips_per_s_by_decode_workers'] = by_workers
 
+        # cached-features lanes (VERDICT r4 #6): decode ONCE, memmap
+        # after — the winnable host story on a 1-vCPU bench host.
+        # (a) memmap AUDIO cache (data/cache.py MemmapAudioCache via
+        #     provider.cache_dir): removes decode+resample+normalize
+        #     per epoch; augmentation randomness stays live, so this is
+        #     the production train path on a slow host.
+        try:
+            provider.cached_datasets = ['train_strong', 'train_weak']
+            provider.cache_dir = str(Path(tmp) / 'audio_cache')
+            results['host_cached_audio_clips_per_s'] = _clips_per_s(
+                provider.get_train_set(), passes=3)
+        except Exception as exc:  # noqa: BLE001
+            print(f'cached-audio lane skipped: {exc!r}', file=sys.stderr)
+        # (b) collated-BATCH cache (BatchCache): palette-shaped batches
+        #     replayed verbatim — exact for rng-free pipelines
+        #     (validation/inference, aug-free training); bounds what a
+        #     fully-precomputed feature store feeds the chip.
+        try:
+            from pb_sed_tpu.data.cache import BatchCache
+            replay = BatchCache(Path(tmp) / 'batch_cache').build(
+                provider.get_train_set())
+            results['host_cached_batches_clips_per_s'] = _clips_per_s(
+                replay, passes=3)
+        except Exception as exc:  # noqa: BLE001
+            print(f'cached-batch lane skipped: {exc!r}', file=sys.stderr)
+
 
 def _flagship_model_for_events(provider):
     """Flagship model resized to the synthetic DB's class count."""

@@ -157,6 +157,14 @@ class DataProvider(Configurable):
     label_key: str = 'events'
     discard_labelless_train_examples: bool = True
     storage_dir: str = None
+    # disk-backed decode cache root (data/cache.py MemmapAudioCache):
+    # when set, datasets listed in ``cached_datasets`` are decoded ONCE
+    # into a per-dataset waveform memmap under ``cache_dir/<name>`` and
+    # memmap-read afterwards (across processes/runs) instead of being
+    # eagerly re-decoded into RAM per process. Augmentation randomness
+    # stays live — the cache sits at the same pipeline position as the
+    # reference's eager ``.cache()`` (provider.py:119-126).
+    cache_dir: str = None
     # augmentation
     min_class_examples_per_epoch: float = 0
     scale_sampling_fn: Callable = None
@@ -264,12 +272,29 @@ class DataProvider(Configurable):
         return keep
 
     def _decode(self, raw, name=None):
-        """Raw -> decoded-audio dataset (+ optional eager cache)."""
+        """Raw -> decoded-audio dataset (+ optional eager/disk cache)."""
         decoded = raw.map(self.audio_reader,
                           num_workers=self.decode_workers)
         if name is not None:
             if name in (self.cached_datasets or ()):
-                decoded = decoded.cache(lazy=False)
+                if self.cache_dir is not None:
+                    from pb_sed_tpu.data.cache import MemmapAudioCache
+                    import pathlib
+                    import zlib
+                    ids_crc = 0
+                    for ex in raw:
+                        ids_crc = zlib.crc32(
+                            str(ex['example_id']).encode(), ids_crc)
+                    fingerprint = (
+                        name, len(raw), ids_crc,
+                        int(self.audio_reader.target_sample_rate),
+                    )
+                    decoded = MemmapAudioCache.wrap(
+                        decoded,
+                        pathlib.Path(self.cache_dir) / name,
+                        fingerprint)
+                else:
+                    decoded = decoded.cache(lazy=False)
             print(f'Single data set length {name}:', len(decoded))
         else:
             print('Single data set length:', len(decoded))
