@@ -220,10 +220,13 @@ def cnn2d(params, x, seq_len, *, out_channels, kernel_size, pool_size,
 
 
 def cnn1d(params, x, seq_len, *, out_channels, kernel_size,
-          pre_activation=False, output_layer=False, eps=1e-3):
+          residual_connections=None, pre_activation=False,
+          output_layer=False, eps=1e-3):
     n = len(out_channels)
     kernels = kernel_size if isinstance(kernel_size, list) \
         else [kernel_size] * n
+    residuals = residual_connections or [None] * n
+    pending = {}
     for i in range(n):
         is_output = output_layer and i == n - 1
         h = x
@@ -240,6 +243,16 @@ def cnn1d(params, x, seq_len, *, out_channels, kernel_size,
             h = masked_batch_norm(h, seq_len, norm['scale'],
                                   norm['shift'], eps)
             h = relu(h)
+        if i in pending:
+            for res in pending.pop(i):
+                # zero-pad grown channels (identity skips, deep recipe
+                # residual_connections_1d, training.py:171-178)
+                grow = h.shape[-1] - res.shape[-1]
+                if grow:
+                    res = np.pad(res, ((0, 0), (0, 0), (0, grow)))
+                h = h + res
+        if residuals[i] is not None:
+            pending.setdefault(int(residuals[i]), []).append(h)
         x = h
     return x, seq_len
 

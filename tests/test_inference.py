@@ -185,6 +185,20 @@ def test_stacked_ensemble_chunked_matches_unchunked(setup):
         y_c, sl_c = getattr(chunked, method)(batch, **kw)
         np.testing.assert_allclose(y_c, y_w, atol=2e-5, err_msg=method)
         np.testing.assert_array_equal(sl_c, sl_w)
+    # mesh=None chunking runs INSIDE one program (lax.map over chunks,
+    # one dispatch per batch — the r4 tunnel-serialization fix) ...
+    assert any(k[0] == 'scan' for k in chunked._jit_cache), (
+        list(chunked._jit_cache))
+    # ... and matches the host chunk loop (the mesh path) bitwise
+    looped = StackedEnsemble(models, chunk_size=2)
+    looped._scan_disabled = True
+    for method in ('tagging', 'sound_event_detection'):
+        kw = {'window_length': 5} if method != 'tagging' else {}
+        y_s, sl_s = getattr(chunked, method)(batch, **kw)
+        y_l, sl_l = getattr(looped, method)(batch, **kw)
+        np.testing.assert_allclose(y_s, y_l, atol=1e-6, err_msg=method)
+        np.testing.assert_array_equal(sl_s, sl_l)
+    assert not any(k[0] == 'scan' for k in looped._jit_cache)
 
 
 def test_inference_auto_mesh_is_the_production_default(setup, monkeypatch):
