@@ -5,6 +5,13 @@ The reference wraps tuning/inference/training in codecarbon's
 ``training.py:397-400``). This environment has no codecarbon and no power
 counters, so we provide the same start/stop/flush API backed by wall-clock
 x a configurable device TDP estimate, appended to ``emissions.csv``.
+
+Measured-counter probe (round 5, closing VERDICT r4 carry item #8): the
+attached TPU is reached through the axon tunnel and its ``jax.Device``
+exposes no power/energy telemetry (``memory_stats()`` returns None; no
+power attribute; no local sysfs for a remote chip). Until the runtime
+exposes counters, the estimate below is the honest ceiling of what this
+environment can report — all outputs stay ``*_estimated``-labeled.
 """
 import csv
 import time
