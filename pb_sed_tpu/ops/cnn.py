@@ -234,29 +234,35 @@ def _match_residual(res, shape):
     return res
 
 
-def _match_residual_packed(entry, f_rows, cx, g, pconv):
+def _match_residual_packed(entry, f_rows, cx, g, pconv,
+                           interpret=False):
     """Adapt a pending residual entry to a packed use site (rows
     ``f_rows``, channels ``cx``, geometry ``g``): packed entries
     average row PAIRS per crossed (2, 1) pool and zero-pad grown
     channels (same semantics as :func:`_match_residual` on the
     unpacked layout — rows are freq bins); unpacked entries are
-    matched in 4-D then packed. Returns a float32 packed buffer."""
+    matched in 4-D then packed. Returns a float32 packed buffer.
+
+    The row-pair average runs as the ``avgpool2_rows_packed`` Pallas
+    kernel: the reshape(b, c, rows/2, 2, ts).mean(3) spelling lowers
+    to relayout copies of 5-D T(2,128)-tiled intermediates (~1.7 ms
+    per crossing residual on the deep recipe — round-5 trace); the
+    kernel computes bit-identical f32 values in one pass each way."""
     if entry[0] == 'u':
         res = entry[1]
         matched = _match_residual(
             res, (res.shape[0], g.f, f_rows, cx))
         return pconv.pack_fm(matched, g, jnp.float32)
     _, r2, rows, gs = entry
-    r = r2.astype(jnp.float32)
     ts = gs.fs
-    b, c = r.shape[:2]
+    r = r2
     while rows > f_rows:
-        r = r.reshape(b, c, rows // 2, 2, ts).mean(3).reshape(
-            b, c, rows // 2 * ts)
+        r = pconv.avgpool2_rows_packed(r, rows // 2, ts, interpret)
         rows //= 2
     assert rows == f_rows, (rows, f_rows)
-    if cx > c:
-        r = jnp.pad(r, ((0, 0), (0, cx - c), (0, 0)))
+    r = r.astype(jnp.float32)
+    if cx > r.shape[1]:
+        r = jnp.pad(r, ((0, 0), (0, cx - r.shape[1]), (0, 0)))
     return r
 
 
@@ -508,7 +514,7 @@ class CNN2d(nn.Module, Configurable):
                 acc = x2.astype(jnp.float32)
                 for e in pending.pop(i):
                     acc = acc + _match_residual_packed(
-                        e, f_rows, x2.shape[1], g, pconv)
+                        e, f_rows, x2.shape[1], g, pconv, interpret)
                 x2 = acc.astype(jnp.bfloat16)
             if residuals[i] is not None:
                 pending.setdefault(int(residuals[i]), []).append(

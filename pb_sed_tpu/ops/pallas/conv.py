@@ -1296,3 +1296,98 @@ def _pool_vjp_bwd(f_out, ts, interpret, x2, gy):
 
 
 maxpool2_rows_packed.defvjp(_pool_vjp_fwd, _pool_vjp_bwd)
+
+
+def _avg_fwd_kernel(x_ref, y_ref, *, rows, ts):
+    """Row-pair mean: x_ref (1, C, 2*rows*ts) -> y_ref (1, C, rows*ts)
+    in f32 — bit-identical to XLA's reduce-sum + *0.5 lowering of
+    ``mean`` over the pair axis (f32 adds of (b)f16-exact values;
+    halving is exact). Structural zeros survive ((0 + 0) / 2 = 0)."""
+    for r in range(rows):
+        a = x_ref[0, :, 2 * r * ts:(2 * r + 1) * ts].astype(jnp.float32)
+        b = x_ref[0, :, (2 * r + 1) * ts:(2 * r + 2) * ts].astype(
+            jnp.float32)
+        y_ref[0, :, r * ts:(r + 1) * ts] = ((a + b) * 0.5).astype(
+            y_ref.dtype)
+
+
+def _avg_bwd_kernel(g_ref, dx_ref, *, rows, ts):
+    """d(mean)/dx routes gy/2 to both rows (linear; no compares)."""
+    for r in range(rows):
+        gy = g_ref[0, :, r * ts:(r + 1) * ts].astype(jnp.float32) * 0.5
+        dx_ref[0, :, 2 * r * ts:(2 * r + 1) * ts] = gy.astype(
+            dx_ref.dtype)
+        dx_ref[0, :, (2 * r + 1) * ts:(2 * r + 2) * ts] = gy.astype(
+            dx_ref.dtype)
+
+
+def _cblock_aligned(c, per_channel_bytes):
+    """Largest 8-aligned channel block whose footprint fits the 6 MB
+    pool-kernel budget (same alignment discipline as _pool_cblock)."""
+    budget = 6 * 1024 * 1024
+    cb = c
+    while cb > 8 and cb % 2 == 0 and (cb // 2) % 8 == 0 \
+            and per_channel_bytes * cb > budget:
+        cb //= 2
+    return cb
+
+
+def _avg_fwd(x2, f_out, ts, interpret):
+    bsz, c, ls = x2.shape
+    assert ls == 2 * f_out * ts, (x2.shape, f_out, ts)
+    per = (2 * x2.dtype.itemsize + 4) * f_out * ts * 2  # dbl-buffered
+    cb = _cblock_aligned(c, per)
+    kernel = functools.partial(_avg_fwd_kernel, rows=f_out, ts=ts)
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, c // cb),
+        in_specs=[pl.BlockSpec((1, cb, ls), lambda bi, ci: (bi, ci, 0))],
+        out_specs=pl.BlockSpec((1, cb, f_out * ts),
+                               lambda bi, ci: (bi, ci, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, c, f_out * ts),
+                                       jnp.float32),
+        interpret=interpret,
+    )(x2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def avgpool2_rows_packed(x2, f_out, ts, interpret=False):
+    """(2, 1)-AVG-pool on the freq-major packed layout, f32 output:
+    x2 (B, C, 2*f_out*ts) -> (B, C, f_out*ts).
+
+    Used by the packed-residual row matcher
+    (cnn.py:_match_residual_packed) for residual skips that cross a
+    (2, 1) freq pool. The previous reshape -> reduce -> broadcast
+    lowering materialized 5-D T(2,128)-tiled intermediates (4x sublane
+    padding): measured ~1.7 ms per crossing residual on the deep
+    recipe at bs=16 (round-5 trace, PERFORMANCE.md). One kernel pass
+    each way replaces the chain while computing the exact same f32
+    values."""
+    return _avg_fwd(x2, f_out, ts, interpret)
+
+
+def _avg_vjp_fwd(x2, f_out, ts, interpret):
+    # residual: a zero-length slice carries the primal dtype/channel
+    # count without keeping the buffer alive
+    return _avg_fwd(x2, f_out, ts, interpret), x2[:0]
+
+
+def _avg_vjp_bwd(f_out, ts, interpret, res, gy):
+    bsz = gy.shape[0]
+    c, ls = res.shape[1], res.shape[2]
+    per = (4 + 2 * res.dtype.itemsize) * f_out * ts * 2
+    cb = _cblock_aligned(c, per)
+    kernel = functools.partial(_avg_bwd_kernel, rows=f_out, ts=ts)
+    dx = pl.pallas_call(
+        kernel,
+        grid=(bsz, c // cb),
+        in_specs=[pl.BlockSpec((1, cb, f_out * ts),
+                               lambda bi, ci: (bi, ci, 0))],
+        out_specs=pl.BlockSpec((1, cb, ls), lambda bi, ci: (bi, ci, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, c, ls), res.dtype),
+        interpret=interpret,
+    )(gy.astype(jnp.float32))
+    return (dx,)
+
+
+avgpool2_rows_packed.defvjp(_avg_vjp_fwd, _avg_vjp_bwd)

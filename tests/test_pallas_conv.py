@@ -248,6 +248,53 @@ def test_maxpool2_rows_packed_gradient(interpret_mode):
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=1e-5)
 
 
+def test_avgpool2_rows_packed_matches_mean(interpret_mode):
+    """Bit-exact vs the reshape(b,c,rows/2,2,ts).mean(3) spelling it
+    replaces in cnn.py:_match_residual_packed (f32 adds, exact halve)."""
+    rng = np.random.RandomState(7)
+    x = _rand(rng, 2, 12, 16, 16)
+    g = pconv.fm_geom(12, 16, 3, 3, 16)
+    x2 = pconv.pack_fm(x, g)          # bf16 packed, rows=16
+    y2 = pconv.avgpool2_rows_packed(x2, 8, g.fs, True)
+    assert y2.dtype == jnp.float32
+    b, c = x2.shape[:2]
+    ref = x2.astype(jnp.float32).reshape(
+        b, c, 8, 2, g.fs).mean(3).reshape(b, c, 8 * g.fs)
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(ref))
+    # chained halvings stay exact on the f32 intermediate
+    y4 = pconv.avgpool2_rows_packed(y2, 4, g.fs, True)
+    ref4 = ref.reshape(b, c, 4, 2, g.fs).mean(3).reshape(
+        b, c, 4 * g.fs)
+    np.testing.assert_array_equal(np.asarray(y4), np.asarray(ref4))
+
+
+def test_avgpool2_rows_packed_gradient(interpret_mode):
+    """The custom VJP routes gy/2 to both rows, cast to the primal
+    dtype — identical to the astype/reshape/mean chain's cotangent."""
+    rng = np.random.RandomState(8)
+    x = _rand(rng, 1, 9, 8, 16)
+    g = pconv.fm_geom(9, 8, 3, 3, 16)
+    x2 = pconv.pack_fm(x, g)          # bf16 packed, rows=8
+    gy = _rand(rng, *x2.shape[:2], 4 * g.fs)
+
+    def loss_kernel(x2):
+        return jnp.sum(pconv.avgpool2_rows_packed(x2, 4, g.fs, True)
+                       * gy)
+
+    def loss_ref(x2):
+        b, c = x2.shape[:2]
+        y = x2.astype(jnp.float32).reshape(
+            b, c, 4, 2, g.fs).mean(3).reshape(b, c, 4 * g.fs)
+        return jnp.sum(y * gy)
+
+    gk = jax.grad(loss_kernel)(x2)
+    gr = jax.grad(loss_ref)(x2)
+    assert gk.dtype == x2.dtype
+    np.testing.assert_array_equal(
+        np.asarray(gk, dtype=np.float32),
+        np.asarray(gr, dtype=np.float32))
+
+
 def test_conv2d_mxu_drop_in_time_major(interpret_mode):
     """The (B, T, F, C) drop-in wrapper (time-major orientation)."""
     from pb_sed_tpu.ops.pallas.conv import conv2d_mxu
