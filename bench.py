@@ -295,6 +295,30 @@ def lane_ensemble(results, n_models=10):
         ens_batch * n / dt / n_chips, 2)
     results['ensemble10_sed_wall_ms_per_batch'] = round(1e3 * dt / n, 2)
 
+    # pipelined production pattern (models/base/inference.py, round 5):
+    # batch k+1 is DISPATCHED (runner.dispatch, async device arrays)
+    # before batch k's outputs are materialized, so the per-call
+    # blocking round trips (~24 ms each on the tunnel after the first
+    # heavy workload — PERFORMANCE.md pathology 6) overlap the next
+    # batch's device compute. This is the loop the inference driver
+    # runs over a dataset; the serial figure above is the
+    # dispatch-convert-dispatch pattern the reference uses.
+    prev = None
+    t0 = time.perf_counter()
+    for _ in range(n):
+        cur = runner.dispatch('sound_event_detection', batch, **kwargs)
+        if prev is not None:
+            np.asarray(prev[0])
+            np.asarray(prev[1])
+        prev = cur
+    np.asarray(prev[0])
+    np.asarray(prev[1])
+    dt_p = time.perf_counter() - t0
+    results['ensemble10_sed_pipelined_wall_ms_per_batch'] = round(
+        1e3 * dt_p / n, 2)
+    results['ensemble10_sed_pipelined_clips_per_s_chip'] = round(
+        ens_batch * n / dt_p / n_chips, 2)
+
     # member-count scaling: 1-member reference point (same batch/window)
     try:
         runner1 = StackedEnsemble(models[:1], mesh=default_ensemble_mesh(1),

@@ -316,6 +316,28 @@ class StackedEnsemble:
         return out
 
     # -- inference API -------------------------------------------------
+    def dispatch(self, method, batch, **params):
+        """Async inference: same values as the public methods, device
+        arrays where possible (see ``SoundEventModel.dispatch``)."""
+        module_cls = type(self.module)
+        if method == 'sound_event_detection' \
+                and hasattr(module_cls, 'sed_windows') \
+                and params.get('window_length') is not None:
+            from pb_sed_tpu.models.weak_label.crnn import multi_window_sed
+            ws = params.pop('window_shift', 1)
+            return multi_window_sed(
+                lambda win_len: self._apply(
+                    batch, module_cls.sed_windows,
+                    window_length=win_len, window_shift=int(ws)),
+                params.pop('window_length'), materialize=False)
+        if method == 'sound_event_detection' \
+                and not hasattr(module_cls, 'sed_windows'):
+            params.pop('window_length', None)
+            params.pop('window_shift', None)
+            return self._apply(
+                batch, module_cls.sound_event_detection, **params)
+        return self._apply(batch, getattr(module_cls, method), **params)
+
     def tagging(self, batch, **params):
         method = type(self.module).tagging
         y, seq_len = self._apply(batch, method, **params)

@@ -125,97 +125,137 @@ def inference(model, method, dataset, max_segment_length=None,
 
     stft_geom = getattr(
         getattr(models[0].module, 'feature_extractor', None), 'stft', None)
+    if post_processing_fn is None:
+        def post_processing_fn(x):
+            return x
+    if stepfilt_length is not None:
+        stepfilt_length = np.asarray(stepfilt_length, dtype=int)
     scores = {}
     score_cache = {}
-    for batch in dataset:
-        batch = dict(batch)
-        for key in ('weak_targets', 'boundary_targets', 'strong_targets'):
-            batch.pop(key, None)
-        if max_segment_length is not None:
-            input_segments = segment_batch(
-                batch, max_length=max_segment_length,
-                overlap=segment_overlap, stft=stft_geom)
-        else:
-            input_segments = [batch]
-        for segment in input_segments:
-            segment_scores = None
-            seq_len = None
-            for i, m in enumerate(models):
-                yi, seq_len_i = getattr(m, method)(
-                    segment, **model_kwargs[i])
-                yi = np.asarray(yi, dtype=np.float64)
-                if segment_scores is None:
-                    segment_scores = yi
-                    seq_len = np.asarray(seq_len_i)
-                else:
-                    assert (np.asarray(seq_len_i) == seq_len).all(), (
-                        seq_len, seq_len_i)
-                    segment_scores = segment_scores + yi
-            segment_scores = segment_scores / len(models)
-            # sequence masking (scores are (B, ..., K, T))
-            t = segment_scores.shape[-1]
-            mask = (np.arange(t)[None, :]
-                    < seq_len[:, None]).astype(segment_scores.dtype)
-            mask = mask.reshape(
-                mask.shape[0], *([1] * (segment_scores.ndim - 2)), t)
-            segment_scores = segment_scores * mask
+
+    def segments():
+        """(segment, last_of_batch) over the dataset's batches."""
+        for batch in dataset:
+            batch = dict(batch)
+            for key in ('weak_targets', 'boundary_targets',
+                        'strong_targets'):
+                batch.pop(key, None)
+            if max_segment_length is not None:
+                input_segments = segment_batch(
+                    batch, max_length=max_segment_length,
+                    overlap=segment_overlap, stft=stft_geom)
+            else:
+                input_segments = [batch]
+            for j, segment in enumerate(input_segments):
+                yield segment, j == len(input_segments) - 1
+
+    def finalize(segment, outs, last_of_batch):
+        """Host side of one segment: materialize the dispatched model
+        outputs, ensemble-mean, mask, filter, cache — and on the last
+        segment of a batch, the batch tail (merge / dataframes /
+        result bookkeeping)."""
+        nonlocal scores, score_cache
+        segment_scores = None
+        seq_len = None
+        for yi, seq_len_i in outs:
+            yi = np.asarray(yi, dtype=np.float64)
+            if segment_scores is None:
+                segment_scores = yi
+                seq_len = np.asarray(seq_len_i)
+            else:
+                assert (np.asarray(seq_len_i) == seq_len).all(), (
+                    seq_len, seq_len_i)
+                segment_scores = segment_scores + yi
+        segment_scores = segment_scores / len(models)
+        # sequence masking (scores are (B, ..., K, T))
+        t = segment_scores.shape[-1]
+        mask = (np.arange(t)[None, :]
+                < seq_len[:, None]).astype(segment_scores.dtype)
+        mask = mask.reshape(
+            mask.shape[0], *([1] * (segment_scores.ndim - 2)), t)
+        segment_scores = segment_scores * mask
+        segment_scores = filtering(
+            segment_scores, medfilt, medfilt_length)
+        if stepfilt_length is not None:
             segment_scores = filtering(
-                segment_scores, medfilt, medfilt_length)
-            if stepfilt_length is not None:
-                stepfilt_length = np.asarray(stepfilt_length, dtype=int)
-                segment_scores = filtering(
-                    segment_scores, _boundariesfilt, stepfilt_length)
-            if post_processing_fn is None:
-                def post_processing_fn(x):
-                    return x
-            score_cache.update({
-                audio_id: post_processing_fn(
-                    segment_scores[i, ..., :sl].swapaxes(-2, -1))
-                for i, (audio_id, sl) in enumerate(zip(
-                    segment['example_id'], seq_len))
-            })
-            if apply_mask.any():
-                assert masks is not None
-                # mask ONLY the segment ids just added: earlier cache
-                # entries are already masked (re-multiplying them would
-                # attenuate non-boolean masks as mask^n)
-                for audio_id in segment['example_id']:
-                    # tag masks are keyed by CLIP id (time-invariant)
-                    mask_key = audio_id.split('_!segment!_')[0]
-                    assert mask_key in masks, mask_key
-                    m_arr = apply_mask
-                    if m_arr.ndim == 2:
-                        m_arr = m_arr[..., None, :]
-                    score_cache[audio_id] = score_cache[audio_id] * (
-                        np.maximum(masks[mask_key], 1 - m_arr))
+                segment_scores, _boundariesfilt, stepfilt_length)
+        score_cache.update({
+            audio_id: post_processing_fn(
+                segment_scores[i, ..., :sl].swapaxes(-2, -1))
+            for i, (audio_id, sl) in enumerate(zip(
+                segment['example_id'], seq_len))
+        })
+        if apply_mask.any():
+            assert masks is not None
+            # mask ONLY the segment ids just added: earlier cache
+            # entries are already masked (re-multiplying them would
+            # attenuate non-boolean masks as mask^n)
+            for audio_id in segment['example_id']:
+                # tag masks are keyed by CLIP id (time-invariant)
+                mask_key = audio_id.split('_!segment!_')[0]
+                assert mask_key in masks, mask_key
+                m_arr = apply_mask
+                if m_arr.ndim == 2:
+                    m_arr = m_arr[..., None, :]
+                score_cache[audio_id] = score_cache[audio_id] * (
+                    np.maximum(masks[mask_key], 1 - m_arr))
+        if not last_of_batch:
+            return
+        # ---- batch tail ------------------------------------------------
+        local_cache = score_cache
         if merge_score_segments:
-            example_id = input_segments[-1]['example_id'][0]
+            example_id = segment['example_id'][0]
             if '_!segment!_' in example_id:
                 seg_idx, n_segments = example_id.split(
                     '_!segment!_')[-1].split('_')
                 if int(seg_idx) != int(n_segments) - 1:
-                    continue
-                score_cache = merge_segments(
-                    score_cache,
+                    # batch ends mid-clip: keep accumulating segments
+                    # across batches (reference semantics)
+                    return
+                local_cache = merge_segments(
+                    local_cache,
                     segment_overlap=segment_overlap
                     if score_segment_overlap is None
                     else score_segment_overlap)
         if (timestamps is not None or event_classes is not None
                 or score_storage_dir is not None):
             assert timestamps is not None and event_classes is not None
-            score_cache = scores_to_dataframes(
-                score_cache, timestamps, event_classes, score_storage_dir)
+            local_cache = scores_to_dataframes(
+                local_cache, timestamps, event_classes, score_storage_dir)
         if score_storage_dir is None:
             if not scores:
-                scores = score_cache
+                scores = local_cache
             elif isinstance(scores, (list, tuple)):
                 for i in range(len(scores)):
-                    scores[i].update(score_cache[i])
+                    scores[i].update(local_cache[i])
             else:
-                scores.update(score_cache)
+                scores.update(local_cache)
         else:
-            scores = score_cache
+            scores = local_cache
         score_cache = {}
+
+    # one-segment-deep dispatch pipeline: segment k+1's jitted calls are
+    # dispatched (async device arrays, ``model.dispatch``) BEFORE
+    # segment k's outputs are materialized and post-processed, so host
+    # filtering/masking overlaps device compute. On the remote tunnel
+    # every blocking conversion costs a ~24 ms round trip on top of the
+    # device time (PERFORMANCE.md tunnel pathology 6); the reference's
+    # serial loop (``pb_sed/models/base/inference.py:130-160``) pays it
+    # inside the device-idle window instead of alongside the next
+    # segment's compute.
+    pending = None
+    for segment, last_of_batch in segments():
+        outs = [
+            m.dispatch(method, segment, **model_kwargs[i])
+            if hasattr(m, 'dispatch')
+            # duck-typed models without the async lane: blocking call
+            else getattr(m, method)(segment, **model_kwargs[i])
+            for i, m in enumerate(models)]
+        if pending is not None:
+            finalize(*pending)
+        pending = (segment, outs, last_of_batch)
+    if pending is not None:
+        finalize(*pending)
     return scores
 
 

@@ -101,6 +101,18 @@ class SoundEventModel(Configurable):
     def sound_event_detection(self, batch, **params):
         raise NotImplementedError
 
+    def dispatch(self, method, batch, **params):
+        """Async variant of the public inference API: same values as
+        ``getattr(self, method)(batch, **params)`` but returning DEVICE
+        arrays where possible, so the jitted call dispatches without
+        forcing a transfer. The inference driver
+        (``models/base/inference.py``) uses this to overlap host
+        post-processing of one segment with device compute of the next
+        — on the remote tunnel every blocking conversion costs a ~24 ms
+        round trip (PERFORMANCE.md tunnel pathology 6). Subclasses
+        override; this default falls back to the blocking method."""
+        return getattr(self, method)(batch, **params)
+
     def _apply(self, batch, method=None, **kwargs):
         """Jitted, cached module application for inference.
 

@@ -176,6 +176,15 @@ class CRNN(SoundEventModel):
             batch, method=BiCRNNModule.sound_event_detection)
         return np.asarray(y), np.asarray(seq_len)
 
+    def dispatch(self, method, batch, **params):
+        """Async inference (see ``SoundEventModel.dispatch``)."""
+        if method == 'tagging':
+            return self._apply(batch, method=BiCRNNModule.tagging)
+        if method in ('boundaries_detection', 'sound_event_detection'):
+            return self._apply(
+                batch, method=BiCRNNModule.sound_event_detection)
+        return super().dispatch(method, batch, **params)
+
     # ------------------------------------------------------------------
     @classmethod
     def finalize_dogmatic_config(cls, config):

@@ -142,7 +142,7 @@ class FBCRNNModule(nn.Module):
         return y, seq_len_y
 
 
-def multi_window_sed(run_window, window_length):
+def multi_window_sed(run_window, window_length, materialize=True):
     """Combine per-window-length SED runs under scalar / per-class (K,)
     / per-paramset (N, K) window lengths (the reference's array-valued
     window semantics, ``weak_label/crnn.py:241-302``).
@@ -151,10 +151,17 @@ def multi_window_sed(run_window, window_length):
         run_window: ``win_len -> (y (B, K, T), seq_len)`` — a single
             fixed-window SED evaluation (member or stacked ensemble).
         window_length: scalar / (K,) / (N, K) ints.
+        materialize: with a SCALAR window length, ``False`` returns the
+            device arrays as dispatched (async) so the caller can
+            overlap host post-processing with device compute (the
+            ``dispatch`` inference lane). Array-valued windows combine
+            on the host and always return numpy.
     """
     window_length = np.array(window_length, dtype=int)
     if window_length.ndim == 0:
         y, seq_len = run_window(int(window_length))
+        if not materialize:
+            return y, seq_len
         return np.asarray(y), np.asarray(seq_len)
     uniq = np.unique(window_length.flatten())
     y_out = None
@@ -353,6 +360,23 @@ class CRNN(SoundEventModel):
                 batch, method=FBCRNNModule.sed_windows,
                 window_length=win_len, window_shift=int(window_shift)),
             window_length)
+
+    def dispatch(self, method, batch, **params):
+        """Async inference (same values as the public methods, device
+        arrays instead of numpy — see ``SoundEventModel.dispatch``)."""
+        if method == 'tagging':
+            return self._apply(batch, method=FBCRNNModule.tagging)
+        if method == 'boundaries_detection':
+            return self._apply(
+                batch, method=FBCRNNModule.boundaries_detection)
+        if method == 'sound_event_detection':
+            ws = params.pop('window_shift', 1)
+            return multi_window_sed(
+                lambda win_len: self._apply(
+                    batch, method=FBCRNNModule.sed_windows,
+                    window_length=win_len, window_shift=int(ws)),
+                params.pop('window_length'), materialize=False)
+        return super().dispatch(method, batch, **params)
 
     # ------------------------------------------------------------------
     # config glue (reference crnn.py:304-340)

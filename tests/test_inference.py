@@ -201,6 +201,28 @@ def test_stacked_ensemble_chunked_matches_unchunked(setup):
     assert not any(k[0] == 'scan' for k in looped._jit_cache)
 
 
+def test_dispatch_matches_public_api(setup):
+    """``model.dispatch`` (the async lane behind the pipelined
+    inference driver) returns bit-identical values to the public numpy
+    methods — it reuses the same cached jitted executables, only the
+    final numpy conversion is deferred to the caller."""
+    from pb_sed_tpu.models.base.ensemble import StackedEnsemble
+    provider, models, db, tmp_path = setup
+    batch = next(iter(provider.get_validate_set()))
+    for m in (models[0], StackedEnsemble(models)):
+        for method, kw in (
+                ('tagging', {}),
+                ('boundaries_detection', {}),
+                ('sound_event_detection', {'window_length': 5})):
+            y_pub, sl_pub = getattr(m, method)(batch, **kw)
+            y_d, sl_d = m.dispatch(method, batch, **dict(kw))
+            np.testing.assert_array_equal(
+                np.asarray(y_d, dtype=np.float64),
+                np.asarray(y_pub, dtype=np.float64), err_msg=method)
+            np.testing.assert_array_equal(
+                np.asarray(sl_d), np.asarray(sl_pub), err_msg=method)
+
+
 def test_inference_auto_mesh_is_the_production_default(setup, monkeypatch):
     """VERDICT r2 #1: the generic engine (and therefore every experiment
     CLI calling base.tagging/boundaries_detection/sound_event_detection)
