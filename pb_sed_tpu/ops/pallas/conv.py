@@ -485,6 +485,26 @@ def _cb_of(c):
     return 128 if (c % 128 == 0 and c > 128) else 0
 
 
+def _cb_bwd_of(cin, cout, ls):
+    """Channel block of the BACKWARD split (dx/dw) path.
+
+    Everything ``_cb_of`` admits, plus the cout == 128 shapes where the
+    fused dx+dw kernel is superadditive: measured on v5e
+    (scripts/perf/conv_c128_split_probe.py) the split kernels at
+    cb=128 / nc=1 win 3.5x at deep L10 (128->128, F=32, ls=16384 —
+    fused 3.60 ms vs split 1.04, dx bit-exact), while the fused kernel
+    still wins at shallow L7 (128->128, F=16, ls=8192 — 0.86 vs 0.96).
+    The cliff needs BOTH a full-width dx row count (cin >= 128) and the
+    large slab: deep L8 (64->128, same ls) stays cheap fused (0.53 ms).
+    """
+    cb = _cb_of(cout)
+    if cb:
+        return cb
+    if cout == 128 and cin >= 128 and ls >= 16384:
+        return 128
+    return 0
+
+
 def _fwd_kernel_cb(x_ref, w_ref, b_ref, y_ref, xr_t, tmp, acc, *, g, cb,
                    nc, cout, use_bias, nb):
     """Channel-blocked tap-wise forward: grid (example, row-block,
@@ -817,7 +837,7 @@ def _bwd_fused(x2, gm2, w, geom, interpret):
     rot = _use_rot(g)
     taps = _use_taps(g, cout)
     span = (g.tc + g.kt - 1) * g.fs
-    cb = _cb_of(cout) if taps else 0
+    cb = _cb_bwd_of(cin, cout, g.ls) if taps else 0
     if cb:
         nc = cout // cb
         w_fb = w_flip.reshape(kt, kf, nc, cb, cin).transpose(
@@ -986,19 +1006,32 @@ def _fm_dir_bytes(tc, fs, ls, rk, lk, cin, cout, bwd):
         n += 4 * cd * k         # dwt f32 accumulator (revisited)
     else:
         n += 4 * cd * lb        # out tile, double-buffered bf16
-    if fs % 128 == 0 and lk > 1 and _cb_of(cs):
+    cb_blk = (_cb_bwd_of(cin, cout, ls) if bwd else _cb_of(cs)) \
+        if (fs % 128 == 0 and lk > 1) else 0
+    if cb_blk:
         # CHANNEL-BLOCKED taps path: everything sourced from the
         # patched side scales with the 128-channel slab, the produced
         # side gains a persistent f32 accumulator scratch. Slabs and
         # the weight block are tiled over the channel grid axis
         # (double-buffered); the Mosaic window-slice copy charge of
         # the unblocked path applies to the slab.
-        cbk = _cb_of(cs)
+        cbk = cb_blk
         kb = rk * lk * cbk
-        n = 4 * cbk * ls            # source slab bf16, double-buffered
-        n += 2 * cbk * ls           # window-slice copy (measured, see
-        #                             the unblocked charge below)
-        n += 4 * cd * kb            # weight block bf16, double-buffered
+        if cs // cbk == 1:
+            # degenerate channel grid (cout == 128 backward split):
+            # the slab/weight block indices never change within an
+            # example, so they are not double-buffered — measured on
+            # v5e (conv_c128_split_probe): L10 split compiles at
+            # tc=1/2/4 where the double-buffered charge would put
+            # tc >= 2 past the 16 MB hardware limit.
+            n = 2 * cbk * ls        # source slab bf16, single
+            n += 2 * cbk * ls       # window-slice copy
+            n += 2 * cd * kb        # weight block bf16, single
+        else:
+            n = 4 * cbk * ls        # source slab bf16, double-buffered
+            n += 2 * cbk * ls       # window-slice copy (measured, see
+            #                         the unblocked charge below)
+            n += 4 * cd * kb        # weight block bf16, double-buffered
         n += 4 * cd * lb            # f32 accumulator scratch
         if bwd:
             # the blocked backward runs as TWO kernels (dx, dw — see
@@ -1033,7 +1066,8 @@ def _fm_dir_fits(tc, fs, ls, rk, lk, cin, cout, bwd):
     target — the channel-blocked branch gets `_VMEM_CB_TARGET_BYTES`,
     everything else `_VMEM_DIR_TARGET_BYTES` (separately calibrated)."""
     cs = cout if bwd else cin
-    blocked = fs % 128 == 0 and lk > 1 and _cb_of(cs)
+    blocked = fs % 128 == 0 and lk > 1 and (
+        _cb_bwd_of(cin, cout, ls) if bwd else _cb_of(cs))
     target = _VMEM_CB_TARGET_BYTES if blocked else _VMEM_DIR_TARGET_BYTES
     return _fm_dir_bytes(tc, fs, ls, rk, lk, cin, cout, bwd) <= target
 
@@ -1082,7 +1116,8 @@ def fm_geom(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None):
         # 12.34 MB at tc=8, real 17.05 MB, 1.05 MB over the 16 MB
         # hardware limit). Either way clamped to the forward block
         # (larger-backward blocks are uncalibrated).
-        if _cb_of(co) and kt > 1:  # lane-kernel extent in geom roles
+        if _cb_bwd_of(ci, co, f_bins * ts) and kt > 1:
+            # lane-kernel extent in geom roles
             for d in range(1, f_bins + 1):
                 if f_bins % d == 0 and d <= fc:
                     if _fm_dir_fits(d, ts, f_bins * ts, kf, kt, ci,
@@ -1129,7 +1164,7 @@ def fm_supported(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None):
         ci, co = max(cin, 8), max(cout, 8)
         fwd_ok = _fm_dir_fits(
             1, ts, f_bins * ts, kf, kt, ci, co, False)
-        if _cb_of(co) and kt > 1:
+        if _cb_bwd_of(ci, co, f_bins * ts) and kt > 1:
             # channel-blocked backward: its own footprint model is the
             # gate (the legacy whole-footprint model charges the FULL
             # revisited source the blocked kernel never holds — it

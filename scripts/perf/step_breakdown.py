@@ -74,7 +74,13 @@ for name, (ms, n) in op_breakdown_ms(td, collapse=False).items():
     if base.startswith(ASYNC):
         continue
     total += ms
-    key = 'PALLAS ' + op.split('.')[0] if 'custom-call' in s else base
+    # an op IS a custom call only when its op kind is custom-call —
+    # matching 'custom-call' anywhere also catches XLA fusions that
+    # merely CONSUME a kernel's output (%custom-call.N operands),
+    # which mislabeled ~9 ms of BN-stat fusions as PALLAS in the
+    # round-5 deep trace
+    key = ('PALLAS ' + op.split('.')[0] if ' custom-call(' in s
+           else base)
     g = groups.setdefault(key, [0., 0])
     g[0] += ms
     g[1] += n

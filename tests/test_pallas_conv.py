@@ -579,6 +579,37 @@ def test_bwd_block_override_matches_default(interpret_mode):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_c128_split_backward_matches_fused(interpret_mode,
+                                           monkeypatch):
+    """The cout == 128 split backward (``_cb_bwd_of`` admitting
+    cb=128 / nc=1 — the deep-L10 regime where the fused kernel is
+    3.5x superadditive, scripts/perf/conv_c128_split_probe.py) must
+    match the fused kernel: dx bit-equal (identical per-element
+    contractions, measured bit-exact on v5e too), dw within f32
+    summation-order noise. The gate keys on ls >= 16384 which no
+    CPU-sized fixture reaches, so the split arm is forced by patching
+    the gate — exactly the production code path, just engaged at a
+    small shape."""
+    rng = np.random.RandomState(23)
+    cin = cout = 128
+    x = _rand(rng, 2, 12, 8, cin) * .3
+    w = _rand(rng, 3, 3, cin, cout) / (3. * np.sqrt(cin))
+    g = pconv.fm_geom(12, 8, 3, 3, max(cin, cout), cin=cin, cout=cout)
+    assert pconv._cb_bwd_of(cin, cout, g.ls) == 0  # small ls: fused
+    x2 = pconv.pack_fm(x, g)
+    gm = pconv.pack_fm(_rand(rng, 2, 12, 8, cout), g) \
+        * pconv.lane_mask(g, jnp.bfloat16)
+    dx_f, dw_f = pconv._bwd_fused(x2, gm, w, g, True)
+    monkeypatch.setattr(
+        pconv, '_cb_bwd_of',
+        lambda ci, co, ls: 128 if co == 128 else pconv._cb_of(co))
+    dx_s, dw_s = pconv._bwd_fused(x2, gm, w, g, True)
+    np.testing.assert_array_equal(np.asarray(dx_s, np.float32),
+                                  np.asarray(dx_f, np.float32))
+    np.testing.assert_allclose(np.asarray(dw_s), np.asarray(dw_f),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize('cin,cout', [(256, 256), (256, 512),
                                       (128, 256)])
 def test_channel_blocked_taps_matches_xla(interpret_mode, cin, cout):
