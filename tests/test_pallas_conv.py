@@ -822,6 +822,54 @@ def test_conv_cblock_grad_parity_tpu():
 
 @pytest.mark.skipif(jax.default_backend() != 'tpu',
                     reason='needs a real TPU (run via bench.py)')
+def test_conv_c128_split_grad_parity_tpu():
+    """cout == 128 split backward (``_cb_bwd_of``: cin >= 128,
+    ls >= 16384 — the deep-L10 regime) fwd + gradients vs the XLA conv
+    ON HARDWARE. Like the cb=128 blocked path, the split dw kernel
+    accumulates into an output block revisited non-consecutively
+    across (example, row-block); Mosaic RMW semantics are certified on
+    the chip, not in interpret mode. t=120/f=128 reaches ls=16384 so
+    the gate engages naturally (asserted)."""
+    rng = np.random.RandomState(12)
+    b_, t, f, cin, cout = 2, 120, 128, 128, 128
+    x = _rand(rng, b_, t, f, cin)
+    w = _rand(rng, 3, 3, cin, cout) / (3. * np.sqrt(cin))
+    b = _rand(rng, cout) * .1
+    g = pconv.fm_geom(t, f, 3, 3, max(cin, cout), cin=cin, cout=cout)
+    assert pconv._cb_bwd_of(cin, cout, g.ls) == 128  # split engages
+    assert pconv.fm_supported(t, f, 3, 3, max(cin, cout),
+                              cin=cin, cout=cout)
+    x2 = pconv.pack_fm(x, g)
+    gy = _rand(rng, b_, t, f, cout)
+
+    @jax.jit
+    def fg_packed(x2_, w_, b_):
+        def loss(a, ww, bb):
+            y2 = pconv.conv2d_packed_fm(a, ww, bb, g)
+            y = pconv.unpack_fm(y2, g, jnp.float32)
+            return jnp.sum(y * gy)
+        return jax.grad(loss, argnums=(0, 1, 2))(x2_, w_, b_)
+
+    @jax.jit
+    def fg_xla(x_, w_, b_):
+        def loss(a, ww, bb):
+            return jnp.sum(_xla_conv(a, ww, bb).astype(jnp.float32)
+                           * gy)
+        return jax.grad(loss, argnums=(0, 1, 2))(x_, w_, b_)
+
+    dx2, dw_p, db_p = fg_packed(x2, w, b)
+    dx_p = pconv.unpack_fm(dx2, g, jnp.float32)
+    dx_r, dw_r, db_r = fg_xla(x, w, b)
+    for a, r, name in ((dx_p, dx_r, 'dx'), (dw_p, dw_r, 'dw'),
+                       (db_p, db_r, 'db')):
+        a, r = np.asarray(a, np.float32), np.asarray(r, np.float32)
+        scale = max(1e-6, float(np.max(np.abs(r))))
+        err = float(np.max(np.abs(a - r))) / scale
+        assert err < 3e-2, (name, err)
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='needs a real TPU (run via bench.py)')
 def test_conv_packed_native_tpu():
     """Non-interpret compile + parity of the packed tower on the chip."""
     x, seq_len = _tower_data(seed=10, b=2, t=40, f=32)
