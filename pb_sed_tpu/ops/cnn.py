@@ -47,10 +47,15 @@ class Conv2dMXU(nn.Module):
     #                         tree checkpoint-compatible
 
     @nn.compact
-    def __call__(self, x, packed=None):
+    def __call__(self, x, packed=None, bn_fold=None):
         """``packed``: a freq-major ConvGeom — then ``x`` is the packed
         (B, Cin, Ls) buffer of the tower path and the conv runs as the
-        Pallas packed kernel (no relayout; see CNN2d._packed_forward)."""
+        Pallas packed kernel (no relayout; see CNN2d._packed_forward).
+
+        ``bn_fold``: optional (scale, shift) per-channel affine
+        (``MaskedBatchNorm(..., fold=True)``) — the kernel then computes
+        conv(relu(x * scale + shift) * struct_mask) with the activation
+        applied at input-load time (packed path only)."""
         kt, kf = self.kernel_size
         cin = x.shape[1] if packed is not None else x.shape[-1]
         if self.param_cin is not None:
@@ -92,6 +97,13 @@ class Conv2dMXU(nn.Module):
                 y = ((y + bias.astype(jnp.float32)[:, None])
                      * lane_mask(packed, jnp.float32))
                 return y.astype(jnp.bfloat16)
+            if bn_fold is not None:
+                from pb_sed_tpu.ops.pallas.conv import (
+                    bnrelu_conv2d_packed_fm)
+                assert x.shape[1] == cin, (x.shape, cin)
+                return bnrelu_conv2d_packed_fm(
+                    x, bn_fold[0], bn_fold[1], w, bias, packed,
+                    interpret)
             return conv2d_packed_fm(x, w, bias, packed, interpret)
         if self.use_pallas and kt % 2 == 1 and kf % 2 == 1 \
                 and kt * kf > 1:
@@ -116,12 +128,21 @@ class MaskedBatchNorm(nn.Module):
     momentum: float = 0.95
 
     @nn.compact
-    def __call__(self, x, seq_len, training=False, packed_mask=None):
+    def __call__(self, x, seq_len, training=False, packed_mask=None,
+                 fold=False):
         """``packed_mask``: (B, 1, L) valid-lane mask — then ``x`` is a
         freq-major packed (B, C, L) buffer (channels on dim 1) and the
         statistics are computed over (batch, lanes) with the mask; the
         variable/param tree is identical to the unpacked path, so
-        checkpoints are interchangeable."""
+        checkpoints are interchangeable.
+
+        ``fold`` (packed only): return the per-channel affine
+        ``(scale, shift)`` with scale = gamma * rsqrt(var + eps) and
+        shift = beta - mean * scale INSTEAD of the normalized buffer —
+        the BN+ReLU fused conv kernels (ops/pallas/conv.py:
+        bnrelu_conv2d_packed) apply it at input-load time, so the
+        normalized buffer never exists in HBM. Statistics computation
+        and running-average updates are identical to the normal call."""
         packed = packed_mask is not None
         c = x.shape[1] if packed else x.shape[-1]
         ra_mean = self.variable('batch_stats', 'mean',
@@ -136,9 +157,20 @@ class MaskedBatchNorm(nn.Module):
             m = packed_mask.astype(jnp.float32)
             if training:
                 count = jnp.maximum(m.sum(), 1.)
+                # single-pass sum/sum-of-squares statistics: the two
+                # moment reductions are INDEPENDENT siblings over the
+                # same masked buffer, so XLA multi-output-fuses them
+                # into one read of the (B, C, Ls) buffer — the
+                # two-pass (mean, then (x - mean)^2) form cost a
+                # second full pass per layer (measured 1.76 ms/step of
+                # dependent convert_reduce fusions on the shallow
+                # flagship). f32 accumulation; E[x^2] - mean^2 is the
+                # reference BN kernels' own formulation, clamped at 0
+                # against cancellation.
                 mean = (xf * m).sum((0, 2)) / count
-                var = (jnp.square(xf - mean[:, None]) * m).sum(
-                    (0, 2)) / count
+                var = jnp.maximum(
+                    (jnp.square(xf) * m).sum((0, 2)) / count
+                    - jnp.square(mean), 0.)
                 momentum = jnp.where(
                     initialized.value > 0, self.momentum, 0.)
                 ra_mean.value = (momentum * ra_mean.value
@@ -150,15 +182,28 @@ class MaskedBatchNorm(nn.Module):
                 mean = ra_mean.value
                 var = ra_var.value
             rs = jax.lax.rsqrt(var + self.eps)
+            if fold:
+                sc = rs * gamma
+                return sc, beta - mean * sc
             return ((xf - mean[:, None]) * (rs * gamma)[:, None]
                     + beta[:, None])
         mask = sequence_mask(seq_len, x.shape[1])  # (B, T)
         mask = mask.reshape(mask.shape + (1,) * (x.ndim - 2))
+        # f32 statistics and normalize regardless of input dtype: the
+        # packed tower exits in bf16 (its values are bf16-rounded
+        # either way), and bf16-accumulated moments/counts would be
+        # garbage at flagship element counts. Single-pass sum/sum-sq
+        # form as in the packed branch above.
+        xf = x.astype(jnp.float32)
+        mf = mask.astype(jnp.float32)
         if training:
             axes = tuple(range(x.ndim - 1))
-            count = jnp.maximum((mask * jnp.ones_like(x)).sum(axes), 1.)
-            mean = (x * mask).sum(axes) / count
-            var = (jnp.square(x - mean) * mask).sum(axes) / count
+            count = jnp.maximum(
+                (mf * jnp.ones(x.shape, jnp.float32)).sum(axes), 1.)
+            mean = (xf * mf).sum(axes) / count
+            var = jnp.maximum(
+                (jnp.square(xf) * mf).sum(axes) / count
+                - jnp.square(mean), 0.)
             momentum = jnp.where(initialized.value > 0, self.momentum, 0.)
             ra_mean.value = momentum * ra_mean.value + (1 - momentum) * mean
             ra_var.value = momentum * ra_var.value + (1 - momentum) * var
@@ -166,7 +211,7 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean = ra_mean.value
             var = ra_var.value
-        return (x - mean) * jax.lax.rsqrt(var + self.eps) * gamma + beta
+        return (xf - mean) * jax.lax.rsqrt(var + self.eps) * gamma + beta
 
 
 def _act(name):
@@ -284,6 +329,11 @@ class CNN2d(nn.Module, Configurable):
     output_layer: bool = False
     compute_dtype: str = 'bfloat16'
     use_pallas: bool = False     # Pallas im2col-GEMM convs (TPU-gated)
+    fuse_bn: bool = False        # fold BN+ReLU into the packed conv
+    #                              kernels' input load (pre-activation
+    #                              relu towers only; per-layer fallback
+    #                              when the staging slab exceeds the
+    #                              VMEM footprint model)
     in_channels: int = None      # informational (finalize glue)
     input_height: int = None     # informational
 
@@ -321,18 +371,22 @@ class CNN2d(nn.Module, Configurable):
             return None
         n = len(self.out_channels)
         t, f, cin = x.shape[1], x.shape[2], x.shape[3]
-        runs = []  # (start, end, geoms, entry_pad, n_pallas)
+        fuse_ok = (self.fuse_bn and self.pre_activation
+                   and self.activation_fn == 'relu')
+        runs = []  # (start, end, geoms, entry_pad, n_pallas, fused)
         start = None
         geoms = {}
+        fused = set()
         ts = pf_sh = None
         entry_pad = False
         n_pallas = 0
 
         def close(end):
-            nonlocal start, geoms, ts, pf_sh, entry_pad, n_pallas
+            nonlocal start, geoms, fused, ts, pf_sh, entry_pad, n_pallas
             if start is not None and n_pallas:
-                runs.append((start, end, geoms, entry_pad, n_pallas))
-            start, geoms, ts, pf_sh = None, {}, None, None
+                runs.append((start, end, geoms, entry_pad, n_pallas,
+                             fused))
+            start, geoms, fused, ts, pf_sh = None, {}, set(), None, None
             entry_pad, n_pallas = False, 0
 
         for i in range(n):
@@ -347,18 +401,29 @@ class CNN2d(nn.Module, Configurable):
                 and pt_ == 1 and pf_ in (1, 2)
                 and (pf_ == 1 or f % 2 == 0))
             g = None
+            gf = False
             if common_ok and kt % 2 == 1 and kf % 2 == 1 and kt * kf > 1:
-                if pconv.fm_supported(t, f, kt, kf, max(cin_eff, cout),
-                                      cin=cin_eff, cout=cout):
+                # try the BN+ReLU-fused geometry first (its footprint
+                # carries the staging slab); fall back to the plain
+                # kernel for this layer rather than dropping it
+                want = (fuse_ok and not pad_here
+                        and not (self.output_layer and i == n - 1))
+                for f_try in ((True, False) if want else (False,)):
+                    if not pconv.fm_supported(
+                            t, f, kt, kf, max(cin_eff, cout),
+                            cin=cin_eff, cout=cout, fused=f_try):
+                        continue
                     cand = pconv.fm_geom(t, f, kt, kf,
                                          max(cin_eff, cout),
-                                         cin=cin_eff, cout=cout)
+                                         cin=cin_eff, cout=cout,
+                                         fused=f_try)
                     # all window layers must share the lane stride AND
                     # the in-row lane offset of frame 0 (the pack is
                     # done once with the first layer's geometry)
                     if ((ts is None or cand.fs == ts)
                             and (pf_sh is None or cand.pf == pf_sh)):
-                        g = cand
+                        g, gf = cand, f_try
+                        break
             elif common_ok and kt == kf == 1 and ts is not None:
                 # 1x1 conv: a masked packed matmul (no Pallas kernel,
                 # no halo) — the geom only carries the layout fields
@@ -373,6 +438,8 @@ class CNN2d(nn.Module, Configurable):
                     ts, pf_sh = g.fs, g.pf
                     n_pallas += 1
                 geoms[i] = g
+                if gf:
+                    fused.add(i)
             else:
                 close(i)
             cin = cout
@@ -386,7 +453,7 @@ class CNN2d(nn.Module, Configurable):
                 'kernels, 16-multiple channels, freq-only pools in '
                 '{1, 2} and a shared lane stride)')
             return None
-        start, end, geoms, entry_pad, n_pallas = max(
+        start, end, geoms, entry_pad, n_pallas, fused = max(
             runs, key=lambda r: (r[1] - r[0], r[4]))
         if end - start < 2:
             note_fallback(
@@ -401,7 +468,7 @@ class CNN2d(nn.Module, Configurable):
                 f'layers [{end}, {n}) exceed the backward kernels\' '
                 f'VMEM footprint model and run the unpacked XLA path; '
                 f'[{start}, {end}) run packed')
-        return start, end, geoms, interpret, entry_pad
+        return start, end, geoms, interpret, entry_pad, frozenset(fused)
 
     def _packed_forward(self, x, seq_len, training, plan, kernels,
                         pools, residuals):
@@ -421,7 +488,7 @@ class CNN2d(nn.Module, Configurable):
         (16x smaller at cin=1) with the zero channels appended
         afterwards."""
         from pb_sed_tpu.ops.pallas import conv as pconv
-        pack_at, unpack_at, geoms, interpret, entry_pad = plan
+        pack_at, unpack_at, geoms, interpret, entry_pad, fused = plan
         act = _act(self.activation_fn)
         norm_kwargs = self.norm_kwargs or {}
         n = len(self.out_channels)
@@ -492,7 +559,14 @@ class CNN2d(nn.Module, Configurable):
             if not is_output:
                 struct = pconv.lane_mask(g, jnp.float32)
                 valid = pconv.fm_valid_mask(g, seq_len)
-            if self.pre_activation and not is_output \
+            fold = None
+            if i in fused:
+                # BN+ReLU fold into the conv kernel's input load: the
+                # stats (and running-average updates) are identical,
+                # only the normalized buffer never materializes
+                fold = MaskedBatchNorm(**norm_kwargs, name=f'norm_{i}')(
+                    x2, seq_len, training, packed_mask=valid, fold=True)
+            elif self.pre_activation and not is_output \
                     and not (entry_pad and i == pack_at):
                 h = MaskedBatchNorm(**norm_kwargs, name=f'norm_{i}')(
                     x2, seq_len, training, packed_mask=valid)
@@ -505,7 +579,7 @@ class CNN2d(nn.Module, Configurable):
                            use_pallas=True,
                            param_cin=(cin_entry if entry_pad
                                       and i == pack_at else None)
-                           )(x2, packed=g)
+                           )(x2, packed=g, bn_fold=fold)
             if not self.pre_activation and not is_output:
                 h = MaskedBatchNorm(**norm_kwargs, name=f'norm_{i}')(
                     x2, seq_len, training, packed_mask=valid)
@@ -528,7 +602,13 @@ class CNN2d(nn.Module, Configurable):
         g_out = pconv.ConvGeom(
             t=f_rows, f=gl.f, kt=gl.kt, kf=gl.kf, tc=1, tp=f_rows,
             fs=gl.fs, ls=f_rows * gl.fs)
-        x = pconv.unpack_fm(x2, g_out, jnp.float32)
+        # exit the tower in bf16: the values are bf16-rounded already,
+        # and the (B, T, F, C) -> (B, T, F*C) boundary relayout into
+        # the 1-D tower then moves half the bytes (the f32 unpack cost
+        # a measured ~1 ms/step convert+copy+reshape chain on the
+        # shallow flagship); MaskedBatchNorm casts to f32 on entry, so
+        # downstream numerics are identical
+        x = pconv.unpack_fm(x2, g_out, jnp.bfloat16)
         return run_unpacked(x, seq_len, unpack_at, n)
 
     @nn.compact
@@ -707,5 +787,12 @@ class CNN(nn.Module, Configurable):
         h, seq_len = self.tower_2d(h, seq_len, training=training)
         b, t2, f2, c2 = h.shape
         h = h.reshape(b, t2, f2 * c2)
+        if h.dtype == jnp.bfloat16:
+            # pin the tower->1d boundary relayout to bf16: without the
+            # barrier XLA hoists the 1-D tower's batch-norm f32 convert
+            # ABOVE the transpose/retile copies, doubling their bytes
+            # (trace-measured 0.8 ms/step of f32 copy+reshape on the
+            # shallow flagship vs 0.3 in bf16)
+            h = jax.lax.optimization_barrier(h)
         h, seq_len = self.tower_1d(h, seq_len, training=training)
         return h, seq_len

@@ -987,12 +987,17 @@ def conv2d_mxu(x, w, b, interpret=False):
 # Freq-major packed TOWER orientation (production path, ops/cnn.py)
 # ---------------------------------------------------------------------
 
-def _fm_dir_bytes(tc, fs, ls, rk, lk, cin, cout, bwd):
+def _fm_dir_bytes(tc, fs, ls, rk, lk, cin, cout, bwd, fused=False):
     """Scoped-VMEM bytes of ONE kernel direction at row-block ``tc``,
     modeled per the ACTUAL buffers that direction allocates (rk/lk are
     the geom-convention row/lane kernel extents). Tiled blocks are
     charged double-buffered (Mosaic pipelines them); revisited blocks
-    and weights single. Calibrated: see _VMEM_DIR_TARGET_BYTES."""
+    and weights single. Calibrated: see _VMEM_DIR_TARGET_BYTES.
+
+    ``fused`` charges the BN+ReLU prologue variants: forward adds the
+    (c, span) bf16 staging slab (and drops the centre-tap tmp on the
+    taps paths, whose reads all land inside the slab); backward adds
+    one f32 lb-tile for the dw-side recomputed activation value."""
     lb = tc * fs
     span = (tc + rk - 1) * fs
     cs = cout if bwd else cin   # patched/revisited source channels
@@ -1004,6 +1009,8 @@ def _fm_dir_bytes(tc, fs, ls, rk, lk, cin, cout, bwd):
     if bwd:
         n += 8 * cd * lb        # x + dx tiles, double-buffered bf16
         n += 4 * cd * k         # dwt f32 accumulator (revisited)
+        if fused:
+            n += 4 * cd * lb    # recomputed activation f32 temp
     else:
         n += 4 * cd * lb        # out tile, double-buffered bf16
     cb_blk = (_cb_bwd_of(cin, cout, ls) if bwd else _cb_of(cs)) \
@@ -1041,12 +1048,20 @@ def _fm_dir_bytes(tc, fs, ls, rk, lk, cin, cout, bwd):
             # config is tc=2 at the deep shapes)
             n += 8 * cd * lb        # x + dx tiles bf16, double-buffered
             n += 4 * cd * kb        # dwt f32 column block (revisited)
+            if fused:
+                n += 4 * cd * lb    # recomputed activation f32 temp
         else:
             n += 4 * cd * lb        # out tile bf16, double-buffered
-        n += 2 * (lk - 1) * cbk * span + 2 * cbk * lb  # xr + tmp
+            if fused:
+                # staging slab replaces the tmp tile
+                n += 2 * cbk * span - 2 * cbk * lb
         return n
     if fs % 128 == 0 and lk > 1 and cs % 128 == 0:  # taps path
         n += 2 * (lk - 1) * cs * span + 2 * cs * lb   # xr + tmp
+        if fused and not bwd:
+            # staging slab replaces the tmp tile (all centre-tap reads
+            # land inside the slab)
+            n += 2 * cs * span - 2 * cs * lb
         # the taps path reads the revisited source through per-tap
         # window slices and Mosaic holds a second copy — measured on
         # v5e: deep L10 fwd (128ch, ls=16k) modeled 12.3 MB at tc=8,
@@ -1056,12 +1071,14 @@ def _fm_dir_bytes(tc, fs, ls, rk, lk, cin, cout, bwd):
         n += 2 * cs * ls
     elif fs % 128 == 0 and lk > 1:                    # rot path
         n += 2 * k * lb + 2 * cs * span               # patch + xr
+        if fused and not bwd:
+            n += 2 * cs * span                        # staging slab
     else:                                             # legacy build
         n += 2 * k * lb
     return n
 
 
-def _fm_dir_fits(tc, fs, ls, rk, lk, cin, cout, bwd):
+def _fm_dir_fits(tc, fs, ls, rk, lk, cin, cout, bwd, fused=False):
     """Whether one direction's modeled footprint fits its calibrated
     target — the channel-blocked branch gets `_VMEM_CB_TARGET_BYTES`,
     everything else `_VMEM_DIR_TARGET_BYTES` (separately calibrated)."""
@@ -1069,10 +1086,12 @@ def _fm_dir_fits(tc, fs, ls, rk, lk, cin, cout, bwd):
     blocked = fs % 128 == 0 and lk > 1 and (
         _cb_bwd_of(cin, cout, ls) if bwd else _cb_of(cs))
     target = _VMEM_CB_TARGET_BYTES if blocked else _VMEM_DIR_TARGET_BYTES
-    return _fm_dir_bytes(tc, fs, ls, rk, lk, cin, cout, bwd) <= target
+    return _fm_dir_bytes(tc, fs, ls, rk, lk, cin, cout, bwd,
+                         fused=fused) <= target
 
 
-def fm_geom(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None):
+def fm_geom(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None,
+            fused=False):
     """Freq-major geometry: rows = freq bins, lanes = 128-aligned time.
 
     ``cmax`` is max(cin, cout) of the layer — the backward dx pass runs
@@ -1105,7 +1124,7 @@ def fm_geom(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None):
         for d in range(1, f_bins + 1):
             if f_bins % d == 0:
                 if _fm_dir_fits(d, ts, f_bins * ts, kf, kt, ci, co,
-                                False):
+                                False, fused=fused):
                     fc = d
         # BACKWARD block: the channel-blocked model when the cotangent
         # side is blockable (cout >= 256, 128-multiple — its footprint
@@ -1121,7 +1140,7 @@ def fm_geom(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None):
             for d in range(1, f_bins + 1):
                 if f_bins % d == 0 and d <= fc:
                     if _fm_dir_fits(d, ts, f_bins * ts, kf, kt, ci,
-                                    co, True):
+                                    co, True, fused=fused):
                         fb = d
         else:
             budget = max(1, _max_block_lanes(
@@ -1142,7 +1161,8 @@ def fm_geom(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None):
     return _with_tc(f_bins, t_frames, kf, kt, fc, fs=ts)
 
 
-def fm_supported(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None):
+def fm_supported(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None,
+                 fused=False):
     """Whether the freq-major kernels handle this layer within VMEM.
 
     With ``cin``/``cout`` the acceptance gate mirrors the block
@@ -1163,14 +1183,14 @@ def fm_supported(t_frames, f_bins, kt, kf, cmax, cin=None, cout=None):
     if cin is not None and cout is not None:
         ci, co = max(cin, 8), max(cout, 8)
         fwd_ok = _fm_dir_fits(
-            1, ts, f_bins * ts, kf, kt, ci, co, False)
+            1, ts, f_bins * ts, kf, kt, ci, co, False, fused=fused)
         if _cb_bwd_of(ci, co, f_bins * ts) and kt > 1:
             # channel-blocked backward: its own footprint model is the
             # gate (the legacy whole-footprint model charges the FULL
             # revisited source the blocked kernel never holds — it
             # would veto exactly the layers the blocking admits)
             bwd_ok = _fm_dir_fits(
-                1, ts, f_bins * ts, kf, kt, ci, co, True)
+                1, ts, f_bins * ts, kf, kt, ci, co, True, fused=fused)
             return fwd_ok and bwd_ok
         return legacy and fwd_ok
     return legacy
@@ -1228,6 +1248,512 @@ def conv2d_packed_fm(x2, w, b, geom, interpret=False):
     """
     return conv2d_packed(x2, jnp.transpose(w, (1, 0, 2, 3)), b, geom,
                          interpret)
+
+
+# ---------------------------------------------------------------------------
+# BN+ReLU -> conv prologue fusion
+#
+# The packed tower's pre-activation layers run
+#     a = relu(x * scale + shift) * struct_mask ; y = conv(a)
+# where scale/shift are the per-channel batch-norm affine folded with the
+# (masked) statistics. Materializing ``a`` in HBM costs one full write +
+# read of the layer buffer per layer (~1 ms/step on the shallow flagship,
+# trace-measured); these kernels apply the affine+ReLU+mask while loading
+# the input instead, so ``a`` never exists outside VMEM. The backward
+# chain through the affine runs as ONE flat XLA pass over (da, x) — the
+# same pass count the unfused BN backward already paid — and the dw-side
+# kernels recompute ``a`` from the raw input at load time.
+
+
+def _stage_bnrelu(src_ref, xa, sc, sh, g, c, t0):
+    """xa[0] <- relu(src * sc + sh) * mask over the block's halo-extended
+    row span [t0 - pt, t0 - pt + span/fs); rows outside the packed buffer
+    zero-fill, structural lanes (in-row halo slots, pad rows >= t) are
+    masked to zero — the taps may read any of them. ``t0`` is static, so
+    the span bounds and the mask are compile-time constants. The affine
+    runs in f32 (Mosaic on v5e cannot lower packed-bf16 cmpf; max() in
+    f32, cast on store)."""
+    span = xa.shape[-1]
+    base = (t0 - g.pt) * g.fs
+    lo = max(base, 0)
+    hi = min(base + span, g.ls)
+    head = lo - base
+    n = hi - lo
+    if head:
+        xa[0, :, :head] = jnp.zeros((c, head), xa.dtype)
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    fp = j % g.fs   # lo is an fs multiple: in-row slot == j % fs
+    row = lo // g.fs + j // g.fs
+    m = ((fp >= g.pf) & (fp < g.pf + g.f)
+         & (row < g.t)).astype(jnp.float32)
+    v = src_ref[0, :, lo:hi].astype(jnp.float32)
+    xa[0, :, head:head + n] = (
+        jnp.maximum(v * sc + sh, 0.) * m).astype(xa.dtype)
+    if head + n < span:
+        xa[0, :, head + n:] = jnp.zeros((c, span - head - n), xa.dtype)
+
+
+def _bn_tile(x_ref, sc, sh, g, lo, n, row0):
+    """relu(x_ref[0, :, lo:lo+n] * sc + sh) * mask as a bf16 VALUE — the
+    backward kernels' x tiles are lane-tile ALIGNED blocks, so the
+    transform needs no staging scratch; ``row0`` may be traced
+    (``_out_mask`` handles it)."""
+    v = x_ref[0, :, lo:lo + n].astype(jnp.float32)
+    a = jnp.maximum(v * sc + sh, 0.) * _out_mask(g, n, row0, jnp.float32)
+    return a.astype(jnp.bfloat16)
+
+
+def _fwd_kernel_bn(x_ref, w_ref, b_ref, sc_ref, sh_ref, y_ref, xa,
+                   patch, *scratch, g, cin, cout, use_bias, nb, taps):
+    """BN+ReLU fused forward (fm rot/taps paths): stage the block's
+    transformed halo span into ``xa`` once, then run the standard tap
+    matmuls reading xa — xa's row 0 is the block's first halo row, so
+    the source offset base is ``pt`` instead of ``t0``. Out-of-span
+    reads of the shift fills see xa's zero-filled/masked lanes, which
+    equal the true structural zeros (_stage_bnrelu)."""
+    lb = g.tc * g.fs
+    ti = pl.program_id(1)
+    sc = sc_ref[:, 0:1]
+    sh = sh_ref[:, 0:1]
+    if taps:
+        xr_t = patch
+        for blk in range(nb):
+
+            @pl.when(ti == blk)
+            def _do(blk=blk):
+                t0 = blk * g.tc
+                _stage_bnrelu(x_ref, xa, sc, sh, g, cin, t0)
+                _fill_shifts(xa, xr_t, g, cin, g.pt)
+                acc = jnp.zeros((cout, lb), jnp.float32)
+                for dt in range(g.kt):
+                    for df in range(g.kf):
+                        # src=xa with t0=pt: centre taps are always
+                        # in-range slices, so no tmp staging exists
+                        op = _tap_op(xa, xr_t, None, g, cin, g.pt,
+                                     dt, df)
+                        kk = dt * g.kf + df
+                        acc = acc + jnp.dot(
+                            w_ref[:, kk * cin:(kk + 1) * cin], op,
+                            preferred_element_type=jnp.float32)
+                if use_bias:
+                    acc = acc + b_ref[:]
+                acc = acc * _out_mask(g, lb, t0, jnp.float32)
+                y_ref[0, :, :] = acc.astype(y_ref.dtype)
+        return
+    xr = scratch[0]
+    for blk in range(nb):
+
+        @pl.when(ti == blk)
+        def _do(blk=blk):
+            t0 = blk * g.tc
+            _stage_bnrelu(x_ref, xa, sc, sh, g, cin, t0)
+            for row0, rows_n in _splits(g):
+                _build_patch_rot(xa, patch, xr, g, cin, g.pt, row0,
+                                 rows_n)
+                lo, n = row0 * g.fs, rows_n * g.fs
+                acc = jnp.dot(w_ref[:], patch[:, lo:lo + n],
+                              preferred_element_type=jnp.float32)
+                if use_bias:
+                    acc = acc + b_ref[:]
+                acc = acc * _out_mask(g, n, t0 + row0, jnp.float32)
+                y_ref[0, :, lo:lo + n] = acc.astype(y_ref.dtype)
+
+
+def _fwd_kernel_cb_bn(x_ref, w_ref, b_ref, sc_ref, sh_ref, y_ref, xa,
+                      xr_t, acc, *, g, cb, nc, cout, use_bias, nb):
+    """Channel-blocked fused forward: ``_fwd_kernel_cb`` with the cin
+    slab staged through the affine+ReLU+mask (scale/shift enter as
+    (1, cb, 1) blocks tiled over the cin grid axis)."""
+    ti = pl.program_id(1)
+    ci = pl.program_id(2)
+    lb = g.tc * g.fs
+    sc = sc_ref[0, :, 0:1]
+    sh = sh_ref[0, :, 0:1]
+
+    @pl.when(ci == 0)
+    def _zero_acc():
+        acc[:] = jnp.zeros_like(acc)
+
+    for blk in range(nb):
+
+        @pl.when(ti == blk)
+        def _do(blk=blk):
+            t0 = blk * g.tc
+            _stage_bnrelu(x_ref, xa, sc, sh, g, cb, t0)
+            _fill_shifts(xa, xr_t, g, cb, g.pt)
+            part = jnp.zeros((cout, lb), jnp.float32)
+            for dt in range(g.kt):
+                for df in range(g.kf):
+                    op = _tap_op(xa, xr_t, None, g, cb, g.pt, dt, df)
+                    kk = dt * g.kf + df
+                    part = part + jnp.dot(
+                        w_ref[0, :, kk * cb:(kk + 1) * cb], op,
+                        preferred_element_type=jnp.float32)
+            acc[:] += part
+
+            @pl.when(ci == nc - 1)
+            def _write():
+                a = acc[:]
+                if use_bias:
+                    a = a + b_ref[:]
+                a = a * _out_mask(g, lb, t0, jnp.float32)
+                y_ref[0, :, :] = a.astype(y_ref.dtype)
+
+
+def _bwd_kernel_bn(w_ref, x_ref, gm_ref, sc_ref, sh_ref, dx_ref,
+                   dwt_ref, patch, *scratch, g, cin, cout, nb, taps):
+    """Fused dx+dw backward with the x tile transformed at load: dx is
+    the plain cotangent conv (gradient w.r.t. the POST-activation
+    buffer ``a`` — the affine/ReLU chain runs outside, see
+    ``_bnrelu_conv2d_packed_bwd``), while dwt contracts the recomputed
+    ``a`` tile."""
+    b_idx = pl.program_id(0)
+    ti = pl.program_id(1)
+    lb = g.tc * g.fs
+    sc = sc_ref[:, 0:1]
+    sh = sh_ref[:, 0:1]
+
+    @pl.when((b_idx == 0) & (ti == 0))
+    def _zero():
+        dwt_ref[:] = jnp.zeros_like(dwt_ref)
+
+    if taps:
+        xr_t, tmp = patch, scratch[0]
+        for blk in range(nb):
+
+            @pl.when(ti == blk)
+            def _do(blk=blk):
+                t0 = blk * g.tc
+                _fill_shifts(gm_ref, xr_t, g, cout, t0)
+                acc = jnp.zeros((cin, lb), jnp.float32)
+                xb = _bn_tile(x_ref, sc, sh, g, 0, lb, t0)
+                for dt in range(g.kt):
+                    for df in range(g.kf):
+                        op = _tap_op(gm_ref, xr_t, tmp, g, cout, t0,
+                                     dt, df)
+                        if op is None:
+                            continue
+                        kk = dt * g.kf + df
+                        acc = acc + jnp.dot(
+                            w_ref[:, kk * cout:(kk + 1) * cout], op,
+                            preferred_element_type=jnp.float32)
+                        dwt_ref[:, kk * cout:(kk + 1) * cout] += \
+                            jax.lax.dot_general(
+                                xb, op, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                acc = acc * _out_mask(g, lb, t0, jnp.float32)
+                dx_ref[0, :, :] = acc.astype(dx_ref.dtype)
+        return
+
+    xr = scratch[0]
+    for blk in range(nb):
+
+        @pl.when(ti == blk)
+        def _do(blk=blk):
+            t0 = blk * g.tc
+            for row0, rows_n in _splits(g):
+                _build_patch_rot(gm_ref, patch, xr, g, cout, t0,
+                                 row0, rows_n)
+                lo, n = row0 * g.fs, rows_n * g.fs
+                dx = jnp.dot(w_ref[:], patch[:, lo:lo + n],
+                             preferred_element_type=jnp.float32)
+                dx = dx * _out_mask(g, n, t0 + row0, jnp.float32)
+                dx_ref[0, :, lo:lo + n] = dx.astype(dx_ref.dtype)
+                dwt_ref[:] += jax.lax.dot_general(
+                    _bn_tile(x_ref, sc, sh, g, lo, n, t0 + row0),
+                    patch[:, lo:lo + n],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+
+def _bwd_dw_kernel_cb_bn(x_ref, gm_ref, sc_ref, sh_ref, dwt_ref, xr_t,
+                         tmp, *, g, cb, nb):
+    """Channel-blocked dw with the x tile (FULL cin — the channel
+    blocking is on the cotangent side) recomputed through the
+    affine+ReLU+mask at load. Same revisited-output RMW contract as
+    ``_bwd_dw_kernel_cb``."""
+    b_idx = pl.program_id(0)
+    ti = pl.program_id(1)
+    lb = g.tc * g.fs
+    sc = sc_ref[:, 0:1]
+    sh = sh_ref[:, 0:1]
+
+    @pl.when((b_idx == 0) & (ti == 0))
+    def _zero_dwt():
+        dwt_ref[:] = jnp.zeros_like(dwt_ref)
+
+    for blk in range(nb):
+
+        @pl.when(ti == blk)
+        def _do(blk=blk):
+            t0 = blk * g.tc
+            _fill_shifts(gm_ref, xr_t, g, cb, t0)
+            xb = _bn_tile(x_ref, sc, sh, g, 0, lb, t0)
+            for dt in range(g.kt):
+                for df in range(g.kf):
+                    op = _tap_op(gm_ref, xr_t, tmp, g, cb, t0, dt, df)
+                    if op is None:
+                        continue
+                    kk = dt * g.kf + df
+                    dwt_ref[0, :, kk * cb:(kk + 1) * cb] += \
+                        jax.lax.dot_general(
+                            xb, op, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+
+
+def _fwd_packed_bn(x2, scale, shift, w, b, geom, interpret):
+    """Raw fused forward: conv(relu(x2 * scale + shift) * struct_mask).
+
+    Mirrors ``_fwd_packed`` (fm rot/taps/channel-blocked paths; the
+    legacy non-128-aligned build is not wired — the packed tower never
+    produces it) plus the staging slab ``xa`` and the (Cin, 1) f32
+    scale/shift inputs."""
+    g = geom
+    bsz, cin, _ = x2.shape
+    kt, kf, wcin, cout = w.shape
+    assert wcin == cin, (w.shape, x2.shape)
+    if pltpu is None:  # pragma: no cover
+        raise RuntimeError('pallas TPU support unavailable')
+    k = kt * kf * cin
+    nb = g.tp // g.tc
+    lb = g.tc * g.fs
+    b2 = (jnp.zeros((cout, 1), jnp.float32) if b is None
+          else b.reshape(cout, 1).astype(jnp.float32))
+    sc2 = scale.reshape(cin, 1).astype(jnp.float32)
+    sh2 = shift.reshape(cin, 1).astype(jnp.float32)
+    rot = _use_rot(g)
+    taps = _use_taps(g, cin)
+    assert rot or taps, ('bnrelu fusion requires the 128-aligned fm '
+                         'paths', g)
+    span = (g.tc + g.kt - 1) * g.fs
+    cb = _cb_of(cin) if taps else 0
+    if cb:
+        nc = cin // cb
+        w_b = w.reshape(kt, kf, nc, cb, cout).transpose(
+            2, 4, 0, 1, 3).reshape(nc, cout, kt * kf * cb).astype(
+                jnp.bfloat16)
+        kernel = functools.partial(
+            _fwd_kernel_cb_bn, g=g, cb=cb, nc=nc, cout=cout,
+            use_bias=b is not None, nb=nb)
+        y = pl.pallas_call(
+            kernel,
+            grid=(bsz, nb, nc),
+            in_specs=[
+                pl.BlockSpec((1, cb, g.ls),
+                             lambda bi, ti, ci: (bi, ci, 0)),
+                pl.BlockSpec((1, cout, kt * kf * cb),
+                             lambda bi, ti, ci: (ci, 0, 0)),
+                pl.BlockSpec((cout, 1), lambda bi, ti, ci: (0, 0)),
+                pl.BlockSpec((1, cb, 1), lambda bi, ti, ci: (ci, 0, 0)),
+                pl.BlockSpec((1, cb, 1), lambda bi, ti, ci: (ci, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, cout, lb),
+                                   lambda bi, ti, ci: (bi, 0, ti)),
+            out_shape=jax.ShapeDtypeStruct((bsz, cout, nb * lb),
+                                           jnp.bfloat16),
+            scratch_shapes=[
+                pltpu.VMEM((1, cb, span), jnp.bfloat16),
+                pltpu.VMEM(((g.kf - 1) * cb, span), jnp.bfloat16),
+                pltpu.VMEM((cout, lb), jnp.float32),
+            ],
+            interpret=interpret,
+        )(x2.astype(jnp.bfloat16), w_b, b2,
+          sc2.reshape(nc, cb, 1), sh2.reshape(nc, cb, 1))
+        assert y.shape[-1] == g.ls, (y.shape, g)
+        return y
+    if taps:
+        scratch = [pltpu.VMEM(((g.kf - 1) * cin, span), jnp.bfloat16)]
+    else:
+        scratch = [pltpu.VMEM((k, lb), jnp.bfloat16),
+                   pltpu.VMEM((cin, span), jnp.bfloat16)]
+    kernel = functools.partial(
+        _fwd_kernel_bn, g=g, cin=cin, cout=cout, use_bias=b is not None,
+        nb=nb, taps=taps)
+    y = pl.pallas_call(
+        kernel,
+        grid=(bsz, nb),
+        in_specs=[
+            pl.BlockSpec((1, cin, g.ls), lambda bi, ti: (bi, 0, 0)),
+            pl.BlockSpec((cout, k), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((cout, 1), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((cin, 1), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((cin, 1), lambda bi, ti: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, cout, lb), lambda bi, ti: (bi, 0, ti)),
+        out_shape=jax.ShapeDtypeStruct((bsz, cout, nb * lb),
+                                       jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((1, cin, span), jnp.bfloat16)]
+        + scratch,
+        interpret=interpret,
+    )(x2.astype(jnp.bfloat16), _w2(w), b2, sc2, sh2)
+    assert y.shape[-1] == g.ls, (y.shape, g)
+    return y
+
+
+def _bwd_fused_bn(x2, scale, shift, gm2, w, geom, interpret):
+    """Fused backward for the BN+ReLU conv: returns
+    ((B, Cin, Ls) bf16 da — gradient w.r.t. the post-activation buffer,
+    (kt, kf, Cin, Cout) f32 dw). Mirrors ``_bwd_fused`` with the dw-side
+    x tiles recomputed through the affine (the dx side never reads x)."""
+    g = geom
+    if g.tcb and g.tcb != g.tc:
+        assert g.tp % g.tcb == 0, g
+        g = g._replace(tc=g.tcb)
+    bsz, cin, _ = x2.shape
+    kt, kf, wcin, cout = w.shape
+    assert wcin == cin, (w.shape, x2.shape)
+    if pltpu is None:  # pragma: no cover
+        raise RuntimeError('pallas TPU support unavailable')
+    kg = kt * kf * cout
+    nb = g.tp // g.tc
+    lb = g.tc * g.fs
+    sc2 = scale.reshape(cin, 1).astype(jnp.float32)
+    sh2 = shift.reshape(cin, 1).astype(jnp.float32)
+    w_flip = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+    rot = _use_rot(g)
+    taps = _use_taps(g, cout)
+    assert rot or taps, ('bnrelu fusion requires the 128-aligned fm '
+                         'paths', g)
+    span = (g.tc + g.kt - 1) * g.fs
+    cb = _cb_bwd_of(cin, cout, g.ls) if taps else 0
+    if cb:
+        nc = cout // cb
+        w_fb = w_flip.reshape(kt, kf, nc, cb, cin).transpose(
+            2, 4, 0, 1, 3).reshape(nc, cin, kt * kf * cb).astype(
+                jnp.bfloat16)
+        gm_bf = gm2.astype(jnp.bfloat16)
+        da = pl.pallas_call(
+            functools.partial(_bwd_dx_kernel_cb, g=g, cb=cb, nc=nc,
+                              cin=cin, nb=nb),
+            grid=(bsz, nb, nc),
+            in_specs=[
+                pl.BlockSpec((1, cin, kt * kf * cb),
+                             lambda bi, ti, co: (co, 0, 0)),
+                pl.BlockSpec((1, cb, g.ls),
+                             lambda bi, ti, co: (bi, co, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, cin, lb),
+                                   lambda bi, ti, co: (bi, 0, ti)),
+            out_shape=jax.ShapeDtypeStruct((bsz, cin, nb * lb),
+                                           jnp.bfloat16),
+            scratch_shapes=[
+                pltpu.VMEM(((g.kf - 1) * cb, span), jnp.bfloat16),
+                pltpu.VMEM((cb, lb), jnp.bfloat16),
+                pltpu.VMEM((cin, lb), jnp.float32),
+            ],
+            interpret=interpret,
+        )(w_fb, gm_bf)
+        dwt_b = pl.pallas_call(
+            functools.partial(_bwd_dw_kernel_cb_bn, g=g, cb=cb, nb=nb),
+            grid=(bsz, nb, nc),
+            in_specs=[
+                pl.BlockSpec((1, cin, lb),
+                             lambda bi, ti, co: (bi, 0, ti)),
+                pl.BlockSpec((1, cb, g.ls),
+                             lambda bi, ti, co: (bi, co, 0)),
+                pl.BlockSpec((cin, 1), lambda bi, ti, co: (0, 0)),
+                pl.BlockSpec((cin, 1), lambda bi, ti, co: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, cin, kt * kf * cb),
+                                   lambda bi, ti, co: (co, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nc, cin, kt * kf * cb),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM(((g.kf - 1) * cb, span), jnp.bfloat16),
+                pltpu.VMEM((cb, lb), jnp.bfloat16),
+            ],
+            interpret=interpret,
+        )(x2.astype(jnp.bfloat16), gm_bf, sc2, sh2)
+        assert da.shape[-1] == g.ls, (da.shape, g)
+        dwt4 = dwt_b.reshape(nc, cin, kt, kf, cb).transpose(
+            1, 2, 3, 0, 4).reshape(cin, kt, kf, cout)
+        dw = dwt4[:, ::-1, ::-1, :].transpose(1, 2, 0, 3)
+        return da, dw
+    if taps:
+        scratch = [pltpu.VMEM(((g.kf - 1) * cout, span), jnp.bfloat16),
+                   pltpu.VMEM((cout, lb), jnp.bfloat16)]
+    else:
+        scratch = [pltpu.VMEM((kg, lb), jnp.bfloat16),
+                   pltpu.VMEM((cout, span), jnp.bfloat16)]
+    kernel = functools.partial(_bwd_kernel_bn, g=g, cin=cin, cout=cout,
+                               nb=nb, taps=taps)
+    da, dwt = pl.pallas_call(
+        kernel,
+        grid=(bsz, nb),
+        in_specs=[
+            pl.BlockSpec((cin, kg), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, cin, lb), lambda bi, ti: (bi, 0, ti)),
+            pl.BlockSpec((1, cout, g.ls), lambda bi, ti: (bi, 0, 0)),
+            pl.BlockSpec((cin, 1), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((cin, 1), lambda bi, ti: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cin, lb), lambda bi, ti: (bi, 0, ti)),
+            pl.BlockSpec((cin, kg), lambda bi, ti: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, cin, nb * lb), jnp.bfloat16),
+            jax.ShapeDtypeStruct((cin, kg), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(_w2(w_flip), x2.astype(jnp.bfloat16), gm2.astype(jnp.bfloat16),
+      sc2, sh2)
+    assert da.shape[-1] == g.ls, (da.shape, g)
+    dw = dwt.reshape(cin, kt, kf, cout)[:, ::-1, ::-1, :].transpose(
+        1, 2, 0, 3)
+    return da, dw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def bnrelu_conv2d_packed(x2, scale, shift, w, b, geom, interpret=False):
+    """conv2d_packed(relu(x2 * scale + shift) * struct_mask).
+
+    ``scale``/``shift`` are (Cin,) f32 per-channel affines (the folded
+    batch-norm: scale = gamma * rsqrt(var + eps), shift = beta -
+    mean * scale); everything else matches ``conv2d_packed``. The
+    post-activation buffer never materializes in HBM."""
+    return _fwd_packed_bn(x2, scale, shift, w, b, geom, interpret)
+
+
+def _bnrelu_conv2d_packed_fwd(x2, scale, shift, w, b, geom, interpret):
+    y = _fwd_packed_bn(x2, scale, shift, w, b, geom, interpret)
+    return y, (x2, scale, shift, w, b is None)
+
+
+def _bnrelu_conv2d_packed_bwd(geom, interpret, res, gy):
+    x2, scale, shift, w, no_bias = res
+    gym = gy * lane_mask(geom, gy.dtype)
+    gm = gym.astype(jnp.bfloat16)
+    da, dw = _bwd_fused_bn(x2, scale, shift, gm, w, geom, interpret)
+    db = (None if no_bias
+          else jnp.sum(gym.astype(jnp.float32), axis=(0, 2)))
+    # chain through a = relu(x*s + t) * mask in ONE flat XLA pass over
+    # (da, x): dz = da * 1[z > 0] * mask, dx = dz * s; the per-channel
+    # reductions fuse into the same read
+    xf = x2.astype(jnp.float32)
+    sc = scale.astype(jnp.float32).reshape(1, -1, 1)
+    sh = shift.astype(jnp.float32).reshape(1, -1, 1)
+    gate = ((xf * sc + sh > 0.)
+            & (lane_mask(geom, jnp.float32) > 0.))
+    dz = jnp.where(gate, da.astype(jnp.float32), 0.)
+    dx = (dz * sc).astype(x2.dtype)
+    dscale = jnp.sum(dz * xf, axis=(0, 2)).astype(scale.dtype)
+    dshift = jnp.sum(dz, axis=(0, 2)).astype(shift.dtype)
+    return dx, dscale, dshift, dw.astype(w.dtype), db
+
+
+bnrelu_conv2d_packed.defvjp(_bnrelu_conv2d_packed_fwd,
+                            _bnrelu_conv2d_packed_bwd)
+
+
+def bnrelu_conv2d_packed_fm(x2, scale, shift, w, b, geom,
+                            interpret=False):
+    """Freq-major ``bnrelu_conv2d_packed`` (kernel (time, freq) axes
+    swapped, like ``conv2d_packed_fm``)."""
+    return bnrelu_conv2d_packed(x2, scale, shift,
+                                jnp.transpose(w, (1, 0, 2, 3)), b,
+                                geom, interpret)
 
 
 def _pool_fwd_kernel(x_ref, y_ref, *, rows, ts):

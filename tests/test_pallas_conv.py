@@ -310,7 +310,7 @@ def test_conv2d_mxu_drop_in_time_major(interpret_mode):
 
 
 def _mini_tower(use_pallas, pre_activation=True, output_layer=False,
-                residuals=None, dropout=0., pools=None):
+                residuals=None, dropout=0., pools=None, fuse_bn=False):
     from pb_sed_tpu.ops.cnn import CNN2d
     return CNN2d(
         out_channels=[16, 16, 32, 32],
@@ -320,7 +320,7 @@ def _mini_tower(use_pallas, pre_activation=True, output_layer=False,
         norm='batch', norm_kwargs={'eps': 1e-3},
         activation_fn='relu', pre_activation=pre_activation,
         dropout=dropout, output_layer=output_layer,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, fuse_bn=fuse_bn)
 
 
 def _tower_data(seed=7, b=2, t=20, f=16, c=1):
@@ -430,6 +430,133 @@ def test_cnn2d_packed_tower_gradients(interpret_mode):
         # chained conv VJP in a different accumulation order
         atol = 1e-3 + 8e-2 * float(np.max(np.abs(gr))) + 2e-3 * gmax
         np.testing.assert_allclose(gp, gr, atol=atol, err_msg=str(path))
+
+
+def test_bnrelu_conv2d_packed_fm_matches_composition(interpret_mode):
+    """The BN+ReLU fused conv (forward and EVERY gradient) must match
+    the two-op composition ``mask * relu(x * s + t) ->
+    conv2d_packed_fm`` it replaces, on all three kernel paths: rot
+    (cin < 128), taps (cin == 128) and channel-blocked (cin == 256,
+    which also exercises the cout == 128-split-free cb backward)."""
+    shapes = [
+        (2, 20, 16, 16, 32),     # rot path
+        (1, 12, 8, 128, 128),    # taps path
+        (1, 8, 4, 256, 256),     # channel-blocked path
+    ]
+    for seed, (b_, t, f, cin, cout) in enumerate(shapes):
+        rng = np.random.RandomState(20 + seed)
+        x = _rand(rng, b_, t, f, cin)
+        w = _rand(rng, 3, 3, cin, cout) / (3. * np.sqrt(cin))
+        b = _rand(rng, cout) * .1
+        sc = jnp.asarray(.5 + rng.rand(cin).astype(np.float32))
+        sh = _rand(rng, cin) * .2
+        g = pconv.fm_geom(t, f, 3, 3, max(cin, cout), cin=cin,
+                          cout=cout, fused=True)
+        x2 = pconv.pack_fm(x, g)
+        struct = pconv.lane_mask(g, jnp.float32)
+        # cotangent with nonzero structural lanes (the production
+        # cotangent has them: the next layer's taps read those slots)
+        gy = _rand(rng, b_, cout, g.ls)
+
+        def a_of(x2_, sc_, sh_):
+            return (jnp.maximum(
+                x2_.astype(jnp.float32) * sc_.reshape(1, -1, 1)
+                + sh_.reshape(1, -1, 1), 0.) * struct
+            ).astype(jnp.bfloat16)
+
+        def f_ref(x2_, sc_, sh_, w_, b_):
+            y = pconv.conv2d_packed_fm(a_of(x2_, sc_, sh_), w_, b_, g,
+                                       True)
+            return jnp.sum(y.astype(jnp.float32) * gy)
+
+        def f_fused(x2_, sc_, sh_, w_, b_):
+            y = pconv.bnrelu_conv2d_packed_fm(x2_, sc_, sh_, w_, b_, g,
+                                              True)
+            return jnp.sum(y.astype(jnp.float32) * gy)
+
+        y_f = pconv.bnrelu_conv2d_packed_fm(x2, sc, sh, w, b, g, True)
+        y_r = pconv.conv2d_packed_fm(a_of(x2, sc, sh), w, b, g, True)
+        ymax = float(np.max(np.abs(np.asarray(y_r, np.float32))))
+        np.testing.assert_allclose(
+            np.asarray(y_f, np.float32), np.asarray(y_r, np.float32),
+            atol=1e-4 + 2e-3 * ymax, err_msg=f'fwd shape {seed}')
+        # the fused output is itself structurally masked
+        np.testing.assert_array_equal(
+            np.asarray(y_f * struct), np.asarray(y_f))
+
+        g_r = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(x2, sc, sh, w, b)
+        g_f = jax.grad(f_fused, argnums=(0, 1, 2, 3, 4))(
+            x2, sc, sh, w, b)
+        for name, gf_, gr_ in zip(('dx', 'dscale', 'dshift', 'dw',
+                                   'db'), g_f, g_r):
+            gf_ = np.asarray(gf_, np.float32)
+            gr_ = np.asarray(gr_, np.float32)
+            scale = max(1e-6, float(np.max(np.abs(gr_))))
+            err = float(np.max(np.abs(gf_ - gr_))) / scale
+            assert err < 2e-2, (seed, name, err)
+
+
+def test_cnn2d_fuse_bn_matches_unfused(interpret_mode):
+    """fuse_bn=True must reproduce the packed tower bit-for-tolerance:
+    same param/variable tree, same statistics updates, matching
+    outputs and parameter gradients (the only numeric difference is
+    the affine association (x - m) * s vs x * s + (b - m * s))."""
+    x, seq_len = _tower_data()
+    base = _mini_tower(True)
+    fused = _mini_tower(True, fuse_bn=True)
+    plan = fused._packed_plan(
+        x, [3] * 4, [1, [2, 1], 1, [2, 1]], [None] * 4)
+    # entry (cin=1, channel-padded, BN runs unpacked) is NOT fused;
+    # every other layer is
+    assert plan is not None and plan[5] == frozenset({1, 2, 3}), plan
+    variables = base.init(jax.random.PRNGKey(0), x, seq_len,
+                          training=True)
+    (y_b, sl_b), stats_b = base.apply(
+        variables, x, seq_len, training=True, mutable=['batch_stats'])
+    (y_f, sl_f), stats_f = fused.apply(
+        variables, x, seq_len, training=True, mutable=['batch_stats'])
+    assert int(sl_f[0]) == int(sl_b[0])
+    atol = 1e-4 + 2e-2 * float(np.max(np.abs(np.asarray(y_b))))
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_b),
+                               atol=atol)
+    for a, b_ in zip(jax.tree_util.tree_leaves(stats_f),
+                     jax.tree_util.tree_leaves(stats_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-3 + 1e-2 * float(
+                                       np.max(np.abs(np.asarray(b_)))))
+    # eval mode (running-stats fold)
+    merged = {'params': variables['params'], **stats_b}
+    y_b_e, _ = base.apply(merged, x, seq_len, training=False)
+    y_f_e, _ = fused.apply(merged, x, seq_len, training=False)
+    atol = 1e-4 + 2e-2 * float(np.max(np.abs(np.asarray(y_b_e))))
+    np.testing.assert_allclose(np.asarray(y_f_e), np.asarray(y_b_e),
+                               atol=atol)
+
+    # parameter gradients (pool-free: see
+    # test_cnn2d_packed_tower_gradients for why pools are excluded)
+    base_np = _mini_tower(True, pools=[1] * 4)
+    fused_np = _mini_tower(True, pools=[1] * 4, fuse_bn=True)
+    variables = base_np.init(jax.random.PRNGKey(1), x, seq_len,
+                             training=True)
+
+    def loss(model, params):
+        (y, _), _ = model.apply(
+            {'params': params, 'batch_stats': variables['batch_stats']},
+            x, seq_len, training=True, mutable=['batch_stats'])
+        return jnp.sum(jnp.square(y))
+
+    g_b = jax.grad(lambda p: loss(base_np, p))(variables['params'])
+    g_f = jax.grad(lambda p: loss(fused_np, p))(variables['params'])
+    gmax = max(float(np.max(np.abs(np.asarray(g, np.float32))))
+               for g in jax.tree_util.tree_leaves(g_b))
+    for (path, gb_), gf_ in zip(
+            jax.tree_util.tree_leaves_with_path(g_b),
+            jax.tree_util.tree_leaves(g_f)):
+        gb_ = np.asarray(gb_, np.float32)
+        gf_ = np.asarray(gf_, np.float32)
+        atol = 1e-3 + 5e-2 * float(np.max(np.abs(gb_))) + 2e-3 * gmax
+        np.testing.assert_allclose(gf_, gb_, atol=atol,
+                                   err_msg=str(path))
 
 
 def _deep_mini_tower(use_pallas, pools=None, residuals='default'):
